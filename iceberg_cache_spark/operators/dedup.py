@@ -1,0 +1,258 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB):
+- Exact dedup is a hash-aggregate on the content key — one shuffle,
+  map-side partial aggregation.
+- MinHash: explode shingles → groupBy(doc) with 64 partial-aggregated
+  mins (one shuffle by doc id); LSH banding turns the O(n²) pair space
+  into per-bucket self-joins. AQE skew-join splits hot buckets.
+- SimHash: 64 bit-wise conditional sums per doc, then banded on 16-bit
+  chunks (any pair within Hamming distance 3 shares ≥1 of 4 chunks).
+- All hashes are xxhash64 (JVM, seed-stable) — signatures are
+  deterministic across partitionings and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.operators.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic representative (min id) per key group.
+
+    Unlike ``dropDuplicates`` (keeps an arbitrary row), min-id keeps the
+    result stable across partitionings — required for oracle matching
+    and for reproducible pipeline runs.
+    """
+    return df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a text column (arrays stay JVM-side)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — explode + partial-agg mins."""
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("s"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band-hash become a candidate pair.
+
+    One explode (×bands) + a per-bucket self-join — never the full n².
+    """
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.lit(b), F.slice("sig", b * rows + 1, rows)).alias(
+                            "bh"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    a = banded.withColumnRenamed(id_col, "id_a")
+    b = banded.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing minhash components."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree / F.size(sig_a)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, est_jaccard) above threshold."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows)
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(minhash_jaccard(F.col("sig_a"), F.col("sig_b")), 4).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of per-bit weighted sums of token
+    hashes. Pure aggregate — one shuffle by doc id."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = bit if sim is None else sim + bit
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` (≤ 4 chunks ⇒ any
+    pair at distance ≤3 collides on at least one 16-bit chunk)."""
+    sim = simhash64(df, id_col, text_col)
+    chunks = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.cv")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv"
+    )
+    return (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for every pair sharing at
+    least one n-gram (inverted-index join, not a cartesian product)."""
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = grams.select(F.col(id_col).alias("id_a"), "g")
+    b = grams.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

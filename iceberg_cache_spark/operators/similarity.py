@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (broadcast the query set; one pass
+over the corpus; per-partition top-k via window rank — no full sort of
+the n×q pair space at scale thanks to TakeOrdered/rank pruning).
+
+Scale path: random-hyperplane LSH — bucket vectors by sign pattern of a
+fixed seeded projection set, then search only matching buckets. The
+hyperplanes are generated from a deterministic seed and shipped as plan
+literals (no driver-side state, no UDF).
+
+Determinism: dot products accumulate through DECIMAL(28,12) of the
+per-element double product, which is exact and order-independent —
+identical on a 1000-executor cluster and in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+PDEC = "decimal(28,12)"
+
+
+def _exact_dot(a: Column, b: Column) -> Column:
+    """Order-independent dot product: Σ decimal(double(x)*double(y))."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(PDEC)
+    )
+    # merge result must keep the accumulator's exact decimal type
+    # (decimal + decimal widens precision, which aggregate() rejects)
+    return F.aggregate(
+        prods, F.lit(0).cast(PDEC), lambda acc, v: (acc + v).cast(PDEC)
+    ).cast("double")
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_exact_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _exact_dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, vec_id, sim, rnk).
+
+    The query side is broadcast; the corpus is scanned once. Rank window
+    is per-query (small partitions), so the shuffle carries only the
+    n×q scored pairs — at large n, pre-prune with ``lsh_cosine_topk``.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "sim", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit hyperplanes (Box–Muller from seeded PRNG)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """Attach a sign-pattern LSH bucket id (int in [0, 2^n_planes))."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        d = _exact_dot(F.col(vec_col), lit_plane)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. Recall < 1 by design; at 100 TB this turns a full-corpus
+    scan per query into a bucket-pruned probe (buckets can be the
+    table's partition key so pruning happens at the file level)."""
+    c = with_lsh_bucket(corpus, vec_col, dim, n_planes)
+    q = with_lsh_bucket(queries, vec_col, dim, n_planes).select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec"), "lsh_bucket"
+    )
+    scored = c.join(F.broadcast(q), "lsh_bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "sim", "rnk")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine ≥ threshold, LSH-bucketed
+    so the self-join is per-bucket instead of n²."""
+    b = with_lsh_bucket(df, vec_col, dim, n_planes)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "lsh_bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "lsh_bucket")
+    return (
+        a.join(c, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,122 @@
+"""Text analysis operators: tokenization, quality, language-ID, fingerprint.
+
+All JVM-side built-ins (no Python UDFs): at 100 TB these run inside
+whole-stage codegen over the parquet scan, shuffling nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Words used by the n-gram/stopword language heuristic. Deliberately tiny
+# and deterministic — the point is the *operator shape* (scan-local
+# scoring + argmax), not linguistic accuracy.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "des"),
+    "es": ("el", "los", "las", "es", "una", "que", "por", "con"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lowercased, punctuation-stripped text."""
+    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via a BPE-flavoured regex split:
+    letter runs, digit runs, and single punctuation each count."""
+    pieces = F.split(col, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda t: F.trim(t) != "")).cast("bigint")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("bigint")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation (0 for empty text)."""
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(0.0)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = _LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality score in [0, 1]: rewards moderate
+    length, low punctuation density, and natural stopword frequency.
+
+    The weighting runs in exact DECIMAL arithmetic: the components are
+    often exact decimals, so a double pipeline lands on round-half ties
+    (e.g. 0.54175) where engines disagree; decimal ROUND is
+    half-away-from-zero in both Spark and DuckDB."""
+    one = F.expr("CAST(1.0 AS DECIMAL(2,1))")
+    len_score = F.least(
+        F.length(col).cast("decimal(12,3)") * F.expr("CAST(0.002 AS DECIMAL(4,3))"),
+        one,
+    )
+    pr = punct_ratio(col).cast("decimal(18,12)")
+    sr = stopword_ratio(col).cast("decimal(18,12)")
+    punct_score = one - F.least(pr * F.lit(4), one)
+    stop_score = F.least(sr * F.lit(5), one)
+    w4, w3 = F.expr("CAST(0.4 AS DECIMAL(2,1))"), F.expr("CAST(0.3 AS DECIMAL(2,1))")
+    return F.round(
+        w4 * len_score + w3 * punct_score + w3 * stop_score, 4
+    ).cast("double")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (the n-gram heuristic's evidence)."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("bigint")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language with deterministic tie-break (alphabetical wins on
+    ties via strict > comparison order en > de > fr > es evaluated in a
+    fixed CASE chain); 'und' when no marker hits at all."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build CASE from last to first so earlier langs win ties
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased
+    text (canonical content hash used for exact near-normalized dedup)."""
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.md5(normalized.cast("binary"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(c))
+        .withColumn("n_chars_computed", char_count(c))
+        .withColumn("punct_ratio", F.round(punct_ratio(c), 4))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(c), 4))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_pred", lang_id(c))
+        .withColumn("fp", fingerprint(c))
+    )

@@ -1,0 +1,317 @@
+"""Extension-operator corpus: dedup / similarity / text / multimodal /
+streaming-window queries over the documents, embeddings, events tables.
+
+Oracle-matched wherever the semantics are SQL-expressible in DuckDB;
+LSH-band internals (minhash/simhash candidate generation) are checked
+rows-only plus dedicated unit tests with planted duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.operators import dedup as D
+from iceberg_cache_spark.operators import multimodal as M
+from iceberg_cache_spark.operators import similarity as S
+from iceberg_cache_spark.operators import text as X
+from iceberg_cache_spark.plans.registry import declared
+from iceberg_cache_spark.sources.testdata import load_table as T
+from iceberg_cache_spark.streaming import windows as SW
+
+# DuckDB fragment mirroring operators.text.tokens()
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower({c}), "
+    "'[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q60_exact_dedup",
+    """SELECT text, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
+       GROUP BY text ORDER BY doc_id""",
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        D.exact_dedup(T(spark, sf, "documents"), ["text"], "doc_id")
+        .select("text", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q61_fingerprint_dedup",
+    f"""WITH fp AS (SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents)
+       SELECT fp, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS keeper
+       FROM fp GROUP BY fp ORDER BY fp""",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return (
+        d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"))
+        .orderBy("fp")
+    )
+
+
+@declared("q62_minhash_near_dup")  # LSH internals: rows-only check
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return D.minhash_dedup_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@declared("q63_simhash_near_dup")  # rows-only check
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return D.simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@declared(
+    "q64_ngram_jaccard",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       grams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id,
+                  array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+3 AS BIGINT)], ' ') AS g
+           FROM toks, UNNEST(range(greatest(len(t) - 2, 1))) AS u(i))),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         FROM grams a JOIN grams b USING (g)
+         WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+       SELECT id_a, id_b,
+              ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+       ORDER BY id_a, id_b""",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q65_token_stats",
+    f"""SELECT doc_id,
+              CAST(len({_DUCK_TOKS.format(c='text')}) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_computed
+       FROM documents ORDER BY doc_id""",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        X.token_count(c).alias("n_tokens"),
+        X.char_count(c).alias("n_chars_computed"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "q66_quality_score",
+    f"""WITH t AS (
+         SELECT doc_id, text, {_DUCK_TOKS.format(c='text')} AS toks,
+                length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS n_punct
+         FROM documents),
+       r AS (
+         SELECT doc_id,
+            CASE WHEN length(text) > 0
+                 THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS pr,
+            CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> list_contains(
+                        ['the','and','of','to','is','in','that','it'], x)))
+                      / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS sr,
+            length(text) AS nc
+         FROM t)
+       , caps AS (
+         SELECT doc_id, pr, sr,
+            CAST(nc AS DECIMAL(12,3)) * CAST(0.002 AS DECIMAL(4,3)) AS lens,
+            CAST(pr AS DECIMAL(18,12)) * 4 AS p4,
+            CAST(sr AS DECIMAL(18,12)) * 5 AS s5
+         FROM r)
+       SELECT doc_id, ROUND(pr, 4) AS punct_ratio, ROUND(sr, 4) AS stopword_ratio,
+              CAST(ROUND(
+                CAST(0.4 AS DECIMAL(2,1)) *
+                  (CASE WHEN lens < 1 THEN lens ELSE CAST(1.0 AS DECIMAL(12,6)) END)
+                + CAST(0.3 AS DECIMAL(2,1)) *
+                  (CAST(1.0 AS DECIMAL(2,1))
+                   - CASE WHEN p4 < 1 THEN p4 ELSE CAST(1.0 AS DECIMAL(18,12)) END)
+                + CAST(0.3 AS DECIMAL(2,1)) *
+                  (CASE WHEN s5 < 1 THEN s5 ELSE CAST(1.0 AS DECIMAL(18,12)) END),
+              4) AS DOUBLE) AS quality
+       FROM caps ORDER BY doc_id""",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(X.punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(X.stopword_ratio(c), 4).alias("stopword_ratio"),
+        X.quality_score(c).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "q67_lang_id",
+    f"""WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS toks FROM documents),
+       s AS (SELECT doc_id,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS en,
+          len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], x))) AS de,
+          len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','que','des'], x))) AS fr,
+          len(list_filter(toks, x -> list_contains(['el','los','las','es','una','que','por','con'], x))) AS es
+         FROM t)
+       SELECT doc_id,
+          CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+               WHEN en = greatest(en, de, fr, es) THEN 'en'
+               WHEN de = greatest(en, de, fr, es) THEN 'de'
+               WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+               ELSE 'es' END AS lang_pred
+       FROM s ORDER BY doc_id""",
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    CAST(list_sum(list_transform(range(len(e.embedding)),
+        i -> CAST(CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)
+                  AS DECIMAL(28,12)))) AS DOUBLE) AS dot,
+    SQRT(CAST(list_sum(list_transform(range(len(e.embedding)),
+        i -> CAST(CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)
+                  AS DECIMAL(28,12)))) AS DOUBLE)) AS na,
+    SQRT(CAST(list_sum(list_transform(range(len(q.qv)),
+        i -> CAST(CAST(q.qv[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)
+                  AS DECIMAL(28,12)))) AS DOUBLE)) AS nb
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, ROUND(dot / (na * nb), 6) AS sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored)
+SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+@declared("q70_cosine_topk", _COSINE_ORACLE)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk(e, q, k=5).orderBy("query_id", "rnk")
+
+
+@declared("q71_lsh_cosine_topk")  # approximate: rows-only check
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_cosine_topk(e, q, k=5, dim=64, n_planes=6).orderBy("query_id", "rnk")
+
+
+@declared("q72_embedding_near_dup")  # approximate candidate set: rows-only
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    return S.embedding_near_dup_pairs(e, threshold=0.9, dim=64, n_planes=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q90_multimodal_features",
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes,
+              md5(text) AS feat_hash
+       FROM documents ORDER BY doc_id""",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    d = M.with_media_column(T(spark, sf, "documents"), "text")
+    return M.extract_features(d, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming-window semantics (batch-checkable)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q80_tumbling_window",
+    """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 600000000)
+                             * 600000000) AS win_start,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+       FROM events GROUP BY win_start ORDER BY win_start""",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    return SW.tumbling_agg(T(spark, sf, "events"), "10 minutes").orderBy("win_start")
+
+
+@declared(
+    "q82_sliding_window",
+    """WITH hits AS (
+         SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) - off)
+                               * 300000000) AS win_start, value
+         FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS off))
+       SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+       FROM hits GROUP BY win_start ORDER BY win_start""",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    return SW.sliding_agg(T(spark, sf, "events"), "10 minutes", "5 minutes").orderBy(
+        "win_start"
+    )
+
+
+@declared(
+    "q81_session_window",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       m AS (SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+             FROM e),
+       s AS (SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+             FROM m)
+       SELECT user_id, MIN(ts) AS sess_start, CAST(COUNT(*) AS BIGINT) AS n
+       FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""",
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    return SW.session_agg(T(spark, sf, "events"), "5 minutes").orderBy(
+        "user_id", "sess_start"
+    )

@@ -1,0 +1,841 @@
+"""Relational operator corpus (SURVEY.md §2.2, Q01–Q58).
+
+Each query exists twice: a Spark-first DataFrame plan (what this engine
+runs — Catalyst picks the physical strategy) and a DuckDB oracle SQL
+string (what the driver hash-matches against at sf0.01).
+
+The reference exposes this entire surface through one DataFusion call
+site (ref ``src/sql/engine.py:70``); here every operator is expressed
+declaratively so predicate pushdown / column pruning / join selection /
+AQE apply unchanged at 100 TB.
+
+Determinism notes (why the DECIMAL casts): double SUM/AVG is
+order-dependent; both engines are forced through exact DECIMAL(25,6)
+accumulation of a row-level double expression, which is bit-reproducible
+under any partitioning/parallelism — on a 1000-executor cluster just as
+on DuckDB's single thread. Cheap: decimal agg is still JVM codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.plans.registry import declared
+from iceberg_cache_spark.sources.testdata import load_table as T
+
+DEC = "decimal(25,6)"
+
+
+def _dsum(col: F.Column) -> F.Column:
+    """Exact (order-independent) sum of a double expression."""
+    return F.sum(col.cast(DEC))
+
+
+def _money(col: F.Column, scale: int = 2) -> F.Column:
+    """ROUND(exact_decimal, scale) → DOUBLE, identical in both engines."""
+    return F.round(col, scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / scalar  (Q01–Q06)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q01_projection",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+@declared(
+    "q02_filter",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       WHERE l_quantity > 45 AND l_returnflag = 'R'
+       ORDER BY l_orderkey, l_linenumber""",
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@declared(
+    "q03_between_like",
+    """SELECT p_partkey FROM part
+       WHERE p_size BETWEEN 10 AND 20 AND p_brand LIKE 'Brand%'
+         AND p_type IS NOT NULL
+       ORDER BY p_partkey""",
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "part")
+        .filter(
+            F.col("p_size").between(10, 20)
+            & F.col("p_brand").like("Brand%")
+            & F.col("p_type").isNotNull()
+        )
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+@declared(
+    "q04_case_when",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 200000 THEN 'big'
+                   WHEN o_totalprice > 50000 THEN 'mid'
+                   ELSE 'small' END AS bucket
+       FROM orders ORDER BY o_orderkey""",
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 200000, "big")
+            .when(F.col("o_totalprice") > 50000, "mid")
+            .otherwise("small")
+            .alias("bucket"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "q05_cast_coalesce",
+    """SELECT c_custkey,
+              COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
+              CAST(FLOOR(c_acctbal) AS BIGINT) AS bal
+       FROM customer ORDER BY c_custkey""",
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    # FLOOR before the integer cast: Spark's double->bigint cast truncates
+    # while DuckDB's rounds — FLOOR pins both to the same value.
+    return (
+        T(spark, sf, "customer")
+        .select(
+            "c_custkey",
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+            ).alias("seg"),
+            F.floor("c_acctbal").cast("bigint").alias("bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "q06_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins  (Q10–Q18)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q10_inner_join",
+    """SELECT c.c_custkey, n.n_name FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       ORDER BY c.c_custkey""",
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    c, n = T(spark, sf, "customer"), T(spark, sf, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "inner")
+        .select("c_custkey", "n_name")
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "q11_left_join",
+    """SELECT o.o_orderkey, c.c_name FROM orders o
+       LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       ORDER BY o.o_orderkey""",
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "q12_full_join",
+    """SELECT o.o_orderkey, c.c_name FROM orders o
+       FULL JOIN customer c ON o.o_custkey = c.c_custkey
+       ORDER BY o.o_orderkey NULLS FIRST, c.c_name NULLS FIRST""",
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "full")
+        .select("o_orderkey", "c_name")
+        .orderBy(F.col("o_orderkey").asc_nulls_first(), F.col("c_name").asc_nulls_first())
+    )
+
+
+@declared(
+    "q13_semi_join",
+    """SELECT s_suppkey FROM supplier s
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+       ORDER BY s_suppkey""",
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    s, li = T(spark, sf, "supplier"), T(spark, sf, "lineitem")
+    big = li.filter(F.col("l_quantity") > 49)
+    return (
+        s.join(big, s.s_suppkey == big.l_suppkey, "left_semi")
+        .select("s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
+@declared(
+    "q14_anti_join",
+    """SELECT s_suppkey FROM supplier s
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+       ORDER BY s_suppkey""",
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    s, li = T(spark, sf, "supplier"), T(spark, sf, "lineitem")
+    big = li.filter(F.col("l_quantity") > 49)
+    return (
+        s.join(big, s.s_suppkey == big.l_suppkey, "left_anti")
+        .select("s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
+@declared(
+    "q15_cross_join",
+    """SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+       ORDER BY r.r_name, n.n_name""",
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    r, n = T(spark, sf, "region"), T(spark, sf, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@declared(
+    "q16_theta_join",
+    """SELECT p.p_partkey, s.s_suppkey FROM part p
+       JOIN supplier s ON p.p_size < s.s_suppkey
+       ORDER BY p.p_partkey, s.s_suppkey""",
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    p, s = T(spark, sf, "part"), T(spark, sf, "supplier")
+    # Non-equi join: broadcast the small side so Catalyst picks
+    # BroadcastNestedLoopJoin instead of a single-threaded cartesian.
+    return (
+        p.join(F.broadcast(s), F.col("p_size") < F.col("s_suppkey"))
+        .select("p_partkey", "s_suppkey")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@declared(
+    "q17_multiway_join_agg",
+    """SELECT n.n_name,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(25,6))), 2) AS DOUBLE) AS rev
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name ORDER BY rev DESC, n.n_name""",
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    n = T(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_money(_dsum(rev)).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("n_name"))
+    )
+
+
+@declared(
+    "q18_broadcast_join",
+    """SELECT c.c_custkey, n.n_name FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       ORDER BY c.c_custkey""",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    # Same semantics as q10 with an explicit broadcast hint on the dim —
+    # the pattern every fact×dim join at 100 TB should use.
+    c, n = T(spark, sf, "customer"), T(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .select("c_custkey", "n_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation  (Q20–Q26)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q20_groupby_agg",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty,
+              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+                    / COUNT(l_extendedprice), 4) AS avg_price,
+              MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            _money(_dsum(F.col("l_quantity"))).alias("sum_qty"),
+            F.round(
+                _dsum(F.col("l_extendedprice")).cast("double")
+                / F.count("l_extendedprice"),
+                4,
+            ).alias("avg_price"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@declared(
+    "q21_count_distinct",
+    """SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS u
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("u"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "q22_having",
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+       GROUP BY o_custkey HAVING COUNT(*) > 15 ORDER BY o_custkey""",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 15)
+        .orderBy("o_custkey")
+    )
+
+
+@declared(
+    "q23_rollup",
+    """SELECT n_regionkey, n_name, CAST(COUNT(*) AS BIGINT) AS n FROM nation
+       GROUP BY ROLLUP(n_regionkey, n_name)
+       ORDER BY n_regionkey NULLS FIRST, n_name NULLS FIRST""",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "nation")
+        .rollup("n_regionkey", "n_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("n_regionkey").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+@declared(
+    "q24_cube",
+    """SELECT n_regionkey, n_name, CAST(COUNT(*) AS BIGINT) AS n FROM nation
+       GROUP BY CUBE(n_regionkey, n_name)
+       ORDER BY n_regionkey NULLS FIRST, n_name NULLS FIRST""",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "nation")
+        .cube("n_regionkey", "n_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("n_regionkey").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+@declared(
+    "q25_scalar_agg",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
+       FROM lineitem""",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "lineitem").agg(
+        F.count("*").alias("n"),
+        _money(_dsum(F.col("l_extendedprice"))).alias("total"),
+    )
+
+
+@declared(
+    "q26_stddev_var",
+    """SELECT l_returnflag,
+              ROUND((s2 - s1*s1/n)/(n-1), 4) AS var_qty,
+              ROUND(SQRT((s2 - s1*s1/n)/(n-1)), 4) AS sd_qty
+       FROM (SELECT l_returnflag,
+                    COUNT(l_quantity) AS n,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+                    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s2
+             FROM lineitem GROUP BY l_returnflag) g
+       ORDER BY l_returnflag""",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    # var/stddev recomputed from exact decimal sums so both engines agree
+    # bit-for-bit (native STDDEV_SAMP is summation-order dependent).
+    li = T(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        _dsum(F.col("l_quantity")).cast("double").alias("s1"),
+        _dsum(F.col("l_quantity") * F.col("l_quantity")).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return g.select(
+        "l_returnflag",
+        F.round(var, 4).alias("var_qty"),
+        F.round(F.sqrt(var), 4).alias("sd_qty"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Window functions  (Q30–Q34)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q30_row_number",
+    """SELECT o_custkey, o_orderkey,
+              CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+       FROM orders ORDER BY o_custkey, rn""",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        T(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@declared(
+    "q31_lag_lead",
+    """SELECT event_id,
+              LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+              LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       FROM events ORDER BY event_id""",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        T(spark, sf, "events")
+        .select(
+            "event_id",
+            F.lag("value").over(w).alias("prev"),
+            F.lead("value").over(w).alias("nxt"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@declared(
+    "q32_window_frame",
+    """SELECT o_orderkey,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS DOUBLE) AS running
+       FROM orders ORDER BY o_orderkey""",
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        T(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 2)
+            .cast("double")
+            .alias("running"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "q33_ntile",
+    """SELECT c_custkey,
+              CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS q
+       FROM customer ORDER BY c_custkey""",
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        T(spark, sf, "customer")
+        .select("c_custkey", F.ntile(4).over(w).cast("bigint").alias("q"))
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "q34_topk_per_group",
+    """SELECT l_orderkey, l_linenumber, r FROM (
+         SELECT l_orderkey, l_linenumber,
+                CAST(RANK() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS r
+         FROM lineitem) t
+       WHERE r <= 2 ORDER BY l_orderkey, l_linenumber""",
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        T(spark, sf, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.rank().over(w).cast("bigint").alias("r"),
+        )
+        .filter(F.col("r") <= 2)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops / subqueries  (Q40–Q48)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q40_order_limit",
+    """SELECT c_custkey FROM customer
+       ORDER BY c_acctbal DESC, c_custkey LIMIT 50""",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    # Global top-k: Catalyst plans TakeOrderedAndProject (no full sort).
+    return (
+        T(spark, sf, "customer")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .select("c_custkey")
+        .limit(50)
+    )
+
+
+@declared(
+    "q41_offset",
+    "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 10",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "customer").select("c_custkey").orderBy("c_custkey").offset(10).limit(20)
+
+
+@declared(
+    "q42_union_all",
+    """SELECT n_name AS name FROM nation
+       UNION ALL SELECT r_name FROM region ORDER BY name""",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    n = T(spark, sf, "nation").select(F.col("n_name").alias("name"))
+    r = T(spark, sf, "region").select(F.col("r_name").alias("name"))
+    return n.unionAll(r).orderBy("name")
+
+
+@declared(
+    "q43_union_distinct",
+    """SELECT n_name AS name FROM nation
+       UNION SELECT r_name FROM region ORDER BY name""",
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    n = T(spark, sf, "nation").select(F.col("n_name").alias("name"))
+    r = T(spark, sf, "region").select(F.col("r_name").alias("name"))
+    return n.union(r).distinct().orderBy("name")
+
+
+@declared(
+    "q44_intersect",
+    """SELECT o_custkey FROM orders INTERSECT
+       SELECT c_custkey FROM customer ORDER BY o_custkey""",
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select("o_custkey")
+    c = T(spark, sf, "customer").select("c_custkey")
+    return o.intersect(c).orderBy("o_custkey")
+
+
+@declared(
+    "q45_except",
+    """SELECT c_custkey FROM customer EXCEPT
+       SELECT o_custkey FROM orders ORDER BY c_custkey""",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select("c_custkey")
+    o = T(spark, sf, "orders").select("o_custkey")
+    return c.subtract(o).orderBy("c_custkey")
+
+
+@declared(
+    "q46_scalar_subquery",
+    """SELECT c_custkey FROM customer
+       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                                 / COUNT(c_acctbal) FROM customer)
+       ORDER BY c_custkey""",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    # Scalar subquery as a 1-row broadcast cross join — no driver collect,
+    # and the exact-decimal average matches DuckDB's bit-for-bit.
+    avg_df = c.agg(
+        (_dsum(F.col("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "q47_in_subquery",
+    """SELECT o_orderkey FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer
+                           WHERE c_mktsegment = 'BUILDING')
+       ORDER BY o_orderkey""",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "q48_cte",
+    """WITH big AS (SELECT o_custkey,
+                           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 2)
+                                AS DOUBLE) AS tot
+                    FROM orders GROUP BY o_custkey)
+       SELECT c.c_name, b.tot FROM big b
+       JOIN customer c ON b.o_custkey = c.c_custkey
+       ORDER BY c.c_name""",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    big = o.groupBy("o_custkey").agg(_money(_dsum(F.col("o_totalprice"))).alias("tot"))
+    return (
+        big.join(c, big.o_custkey == c.c_custkey)
+        .select("c_name", "tot")
+        .orderBy("c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families  (Q50–Q58)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q50_string_funcs",
+    """SELECT p_partkey, UPPER(p_brand) AS ub, SUBSTRING(p_name, 1, 5) AS pre,
+              CAST(LENGTH(p_type) AS BIGINT) AS tlen,
+              CONCAT(p_brand, '-', p_type) AS bt,
+              LOWER(p_brand) AS lb, TRIM(p_name) AS tn,
+              REPLACE(p_brand, 'Brand', 'B') AS rb,
+              LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS pid
+       FROM part ORDER BY p_partkey""",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("ub"),
+        F.substring("p_name", 1, 5).alias("pre"),
+        F.length("p_type").cast("bigint").alias("tlen"),
+        F.concat_ws("-", "p_brand", "p_type").alias("bt"),
+        F.lower("p_brand").alias("lb"),
+        F.trim(F.col("p_name")).alias("tn"),
+        F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("rb"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("pid"),
+    ).orderBy("p_partkey")
+
+
+@declared(
+    "q51_regex",
+    """SELECT doc_id, REGEXP_REPLACE(lang, '[aeiou]', '_', 'g') AS masked,
+              REGEXP_EXTRACT(source, '([a-z]+)', 1) AS src1,
+              CAST(REGEXP_MATCHES(lang, '^[a-z]{2}$') AS BOOLEAN) AS is2
+       FROM documents ORDER BY doc_id""",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace("lang", "[aeiou]", "_").alias("masked"),
+        F.regexp_extract("source", "([a-z]+)", 1).alias("src1"),
+        F.col("lang").rlike("^[a-z]{2}$").alias("is2"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "q52_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+              ABS(l_discount - 0.05) AS ad,
+              CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
+              CAST(CEIL(l_quantity) AS BIGINT) AS cq,
+              ROUND(SQRT(l_extendedprice), 4) AS sq,
+              CAST(MOD(CAST(FLOOR(l_quantity) AS BIGINT), 7) AS BIGINT) AS m7,
+              CAST(SIGN(l_discount - 0.05) AS BIGINT) AS sg
+       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("ad"),
+        F.floor("l_quantity").cast("bigint").alias("fq"),
+        F.ceil("l_quantity").cast("bigint").alias("cq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sq"),
+        (F.floor("l_quantity").cast("bigint") % 7).cast("bigint").alias("m7"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("sg"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@declared(
+    "q53_date_funcs",
+    """SELECT o_orderkey,
+              CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+              CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+              CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS d,
+              CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mo
+       FROM orders ORDER BY o_orderkey""",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mo"),
+    ).orderBy("o_orderkey")
+
+
+@declared(
+    "q54_timestamp_trunc",
+    """SELECT event_id,
+              CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr
+       FROM events ORDER BY event_id""",
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id", F.date_trunc("hour", "ts").alias("hr")
+    ).orderBy("event_id")
+
+
+@declared(
+    "q55_greatest_least",
+    """SELECT s_suppkey, GREATEST(s_acctbal, 0.0) AS g, LEAST(s_acctbal, 1000.0) AS l
+       FROM supplier ORDER BY s_suppkey""",
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    s = T(spark, sf, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("g"),
+        F.least(F.col("s_acctbal"), F.lit(1000.0)).alias("l"),
+    ).orderBy("s_suppkey")
+
+
+@declared(
+    "q56_hash_funcs",
+    "SELECT r_regionkey, MD5(r_name) AS h FROM region ORDER BY r_regionkey",
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    r = T(spark, sf, "region")
+    return r.select("r_regionkey", F.expr("md5(r_name)").alias("h")).orderBy(
+        "r_regionkey"
+    )
+
+
+@declared(
+    "q57_array_funcs",
+    """SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS d,
+              ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0,
+              CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS npos
+       FROM embeddings ORDER BY vec_id""",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("d"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("npos"),
+    ).orderBy("vec_id")
+
+
+@declared(
+    "q58_json",
+    """SELECT event_id, json_extract_string(props, '$.k') AS k
+       FROM events ORDER BY event_id""",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    ).orderBy("event_id")

@@ -1,0 +1,70 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local mode is the test bed; the config block is written for a real
+cluster: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), shuffle partitions sized explicitly, Arrow enabled at the
+Python boundary (the reference is Arrow-native end-to-end, ref
+``src/core/lru_cache.py:38-41``), UTC session time so date semantics
+are environment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Read nanosecond parquet timestamps as raw int64 ns instead of failing;
+# sources.testdata converts them to proper microsecond timestamps.
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def get_spark(
+    app_name: str = "iceberg_cache_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores) for
+    dev; on a real cluster pass None and let spark-submit decide.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(NANOS_AS_LONG, "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Files: split large files into ~128 MiB tasks (default), but
+        # coalesce small-file storms into fewer tasks at plan time.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Make an externally-created session safe for this engine.
+
+    The driver harness builds its own SparkSession; queries must not
+    depend on how it was configured. Only runtime-settable confs here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(NANOS_AS_LONG, "true")

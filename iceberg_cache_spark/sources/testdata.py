@@ -1,0 +1,62 @@
+"""Testdata source: the driver's TPC-H-ish parquet star schema.
+
+Mirrors the reference's load path (S3 parquet → columnar table, ref
+``src/storage/dataloader.py:89-106``) with Spark's vectorized parquet
+reader — which does ranged reads, row-group pruning, and predicate
+pushdown instead of the reference's whole-object GET (a known weakness,
+SURVEY.md §4.3). At 100 TB the scan parallelism is Spark tasks over
+file splits; nothing here materializes on the driver.
+
+Canonicalization applied on load (FIXTURES.md rules):
+- ``events.ts`` is parquet ``timestamp[ns]``; Spark cannot represent
+  ns, so it is read as raw int64 (``nanosAsLong``) and truncated to a
+  microsecond timestamp with integer arithmetic (``div 1000`` — no
+  double round-trip, which would lose precision on 1.7e18 ns values).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.session import ensure_session_defaults
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (lazy; no driver collect)."""
+    ensure_session_defaults(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events":
+        # int64 ns -> microsecond timestamp; integer div keeps full precision
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all testdata tables; returns name -> DataFrame."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (the reference's registration
+    sweep, ref ``src/sql/engine.py:66-68``) so ``spark.sql`` can name them."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,75 @@
+"""Windowed aggregations over the events stream.
+
+The reference has no streaming execution (SURVEY.md §2.2 Streaming —
+design-doc aspiration only); this is the extension slice built on
+Structured Streaming. The same window transforms work in batch mode
+(``F.window`` / ``F.session_window`` are batch-legal), which is how the
+correctness oracle checks them; ``stream_*`` wrappers attach watermarks
+for the incremental path.
+
+Exact DECIMAL sums keep aggregates reproducible across micro-batches
+and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(25,6)"
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Per-window event count + exact value sum. Columns:
+    (win_start, n, total)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "total")
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Overlapping windows: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "total")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). Columns:
+    (user_id, sess_start, n)."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("sess_start"), "n")
+    )
+
+
+def stream_tumbling_agg(
+    events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming variant: watermark bounds state; late events beyond the
+    watermark are dropped. Use with ``readStream`` sources."""
+    return tumbling_agg(events.withWatermark("ts", watermark), width)
+
+
+def stream_session_agg(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    return session_agg(events.withWatermark("ts", watermark), gap)
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
