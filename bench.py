@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark: run the declared-query corpus at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query executes end-to-end into a noop sink (full plan runs on
+executors; nothing materializes on the driver — the honest cluster
+cost, not a collect() cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_cache_spark.session import get_spark  # noqa: E402
+from iceberg_cache_spark.plans import QUERIES  # noqa: E402
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="iceberg_cache_spark_bench")
+
+    # Warm the JVM/codegen once on a trivial plan so q01 doesn't pay startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        run_query(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "config": {
+                    "master": spark.sparkContext.master,
+                    "shuffle_partitions": spark.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    ),
+                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,13 +40,25 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of a text column (arrays stay JVM-side)."""
-    toks = tokens(col)
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from a *bound* token-array column.
+
+    ``toks`` must be a real column reference (``F.col``), not an inline
+    expression: anything inside the transform lambda is re-evaluated per
+    shingle index, so an inlined tokenizer goes quadratic per row."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str, k: int = 3, out: str = "_sh") -> DataFrame:
+    """Attach a shingle-array column, tokenizing exactly once per row."""
+    return (
+        df.withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn(out, shingles_of(F.col("_toks"), k))
+        .drop("_toks")
     )
 
 
@@ -58,7 +70,14 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — explode + partial-agg mins."""
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("s"))
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # size(_sh)>0 filter and push it below the projection with the whole
+    # shingle expression inlined — re-tokenizing per shingle index.
+    sh = (
+        with_shingles(df, text_col, shingle_k)
+        .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -225,17 +244,36 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int = 100,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for every pair sharing at
-    least one n-gram (inverted-index join, not a cartesian product)."""
-    grams = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    """Word-n-gram Jaccard similarity for every pair sharing at least
+    one n-gram (inverted-index join, not a cartesian product).
+
+    Grams appearing in more than ``max_doc_freq`` documents are dropped
+    from the gram space before sizes/intersections (standard stop-gram
+    filtering): a gram shared by d docs contributes d² join pairs, so
+    without the cap the inverted-index join degenerates to ~n² on
+    boilerplate-heavy corpora. Jaccard is exact over the filtered gram
+    space, and the cap bounds every join bucket at 100 TB."""
+    # join/aggregate on the 8-byte gram hash, not the gram string: the
+    # shuffle carries fixed-width keys (64-bit collision odds ~1e-8 at
+    # 100M distinct grams — negligible vs. the bandwidth saved)
+    # explode_outer + null-filter: see minhash_signatures comment
+    grams = (
+        with_shingles(df, text_col, n)
+        .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(id_col, F.xxhash64("g").alias("gh"))
     )
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = grams.select(F.col(id_col).alias("id_a"), "g")
-    b = grams.select(F.col(id_col).alias("id_b"), "g")
+    gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
+    kept = grams.join(gram_df.filter(F.col("dfreq") <= max_doc_freq), "gh").select(
+        id_col, "gh"
+    )
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = kept.select(F.col(id_col).alias("id_a"), "gh")
+    b = kept.select(F.col(id_col).alias("id_b"), "gh")
     inter = (
-        a.join(b, "g")
+        a.join(b, "gh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))

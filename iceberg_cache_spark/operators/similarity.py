@@ -1,17 +1,21 @@
 """Similarity search over embedding columns (array<float>).
 
 Baseline: brute-force cosine top-k (broadcast the query set; one pass
-over the corpus; per-partition top-k via window rank — no full sort of
-the n×q pair space at scale thanks to TakeOrdered/rank pruning).
+over the corpus; per-query top-k via window rank).
 
 Scale path: random-hyperplane LSH — bucket vectors by sign pattern of a
 fixed seeded projection set, then search only matching buckets. The
 hyperplanes are generated from a deterministic seed and shipped as plan
 literals (no driver-side state, no UDF).
 
-Determinism: dot products accumulate through DECIMAL(28,12) of the
-per-element double product, which is exact and order-independent —
-identical on a 1000-executor cluster and in the DuckDB oracle.
+Determinism: reported similarities accumulate through DECIMAL(28,12) of
+the per-element double product — exact and order-independent, identical
+on a 1000-executor cluster and in the DuckDB oracle.
+
+Performance: norms are computed once per vector (not once per pair),
+and threshold operators pre-filter with a cheap double-fold dot (also
+deterministic: fixed fold order), rescoring only survivors exactly —
+the exact-decimal path runs on a tiny fraction of the pair space.
 """
 
 from __future__ import annotations
@@ -38,6 +42,13 @@ def _exact_dot(a: Column, b: Column) -> Column:
     ).cast("double")
 
 
+def _fast_dot(a: Column, b: Column) -> Column:
+    """Double-fold dot: deterministic (fixed order) but not decimal-exact.
+    Used only as a pre-filter with an epsilon margin."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_exact_dot(a, a))
 
@@ -56,17 +67,26 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: (query_id, vec_id, sim, rnk).
 
-    The query side is broadcast; the corpus is scanned once. Rank window
-    is per-query (small partitions), so the shuffle carries only the
-    n×q scored pairs — at large n, pre-prune with ``lsh_cosine_topk``.
+    The query side is broadcast; the corpus is scanned once with its
+    norm computed once per vector. At large n, pre-prune with
+    ``lsh_cosine_topk``.
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("q_vec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    c = corpus.select(
+        id_col, vec_col, _norm(F.col(vec_col)).alias("c_norm")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+        F.round(
+            _exact_dot(F.col(vec_col), F.col("q_vec"))
+            / (F.col("c_norm") * F.col("q_norm")),
+            6,
+        ).alias("sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -77,7 +97,7 @@ def cosine_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic unit hyperplanes (Box–Muller from seeded PRNG)."""
+    """Deterministic unit hyperplanes (seeded PRNG, driver-independent)."""
     rng = random.Random(seed)
     planes = []
     for _ in range(n_planes):
@@ -90,12 +110,14 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def with_lsh_bucket(
     df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
 ) -> DataFrame:
-    """Attach a sign-pattern LSH bucket id (int in [0, 2^n_planes))."""
+    """Attach a sign-pattern LSH bucket id (int in [0, 2^n_planes)).
+    The sign test uses the double fold — deterministic, and exactness
+    doesn't matter for bucketing."""
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(x) for x in plane])
-        d = _exact_dot(F.col(vec_col), lit_plane)
+        d = _fast_dot(F.col(vec_col), lit_plane)
         bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return df.withColumn("lsh_bucket", bucket)
 
@@ -114,14 +136,23 @@ def lsh_cosine_topk(
     scored. Recall < 1 by design; at 100 TB this turns a full-corpus
     scan per query into a bucket-pruned probe (buckets can be the
     table's partition key so pruning happens at the file level)."""
-    c = with_lsh_bucket(corpus, vec_col, dim, n_planes)
+    c = with_lsh_bucket(corpus, vec_col, dim, n_planes).select(
+        id_col, vec_col, "lsh_bucket", _norm(F.col(vec_col)).alias("c_norm")
+    )
     q = with_lsh_bucket(queries, vec_col, dim, n_planes).select(
-        F.col(query_id_col), F.col(vec_col).alias("q_vec"), "lsh_bucket"
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        "lsh_bucket",
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     scored = c.join(F.broadcast(q), "lsh_bucket").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+        F.round(
+            _exact_dot(F.col(vec_col), F.col("q_vec"))
+            / (F.col("c_norm") * F.col("q_norm")),
+            6,
+        ).alias("sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -140,17 +171,37 @@ def embedding_near_dup_pairs(
     n_planes: int = 4,
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine ≥ threshold, LSH-bucketed
-    so the self-join is per-bucket instead of n²."""
-    b = with_lsh_bucket(df, vec_col, dim, n_planes)
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "lsh_bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "lsh_bucket")
+    so the self-join is per-bucket instead of n². Survivor pairs of a
+    cheap double prefilter (threshold − 1e-6 margin) are rescored with
+    the exact decimal dot before the final threshold test."""
+    b = with_lsh_bucket(df, vec_col, dim, n_planes).select(
+        F.col(id_col), F.col(vec_col), "lsh_bucket", _norm(F.col(vec_col)).alias("nrm")
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("nrm").alias("n_a"),
+        "lsh_bucket",
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("nrm").alias("n_b"),
+        "lsh_bucket",
+    )
+    fast_sim = _fast_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(c, "lsh_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(fast_sim >= threshold - 1e-6)
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("sim"),
+            F.round(
+                _exact_dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .distinct()

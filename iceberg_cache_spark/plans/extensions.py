@@ -78,11 +78,14 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     "q64_ngram_jaccard",
     f"""WITH toks AS (
          SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
-       grams AS (
+       allgrams AS (
          SELECT DISTINCT doc_id, g FROM (
            SELECT doc_id,
                   array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+3 AS BIGINT)], ' ') AS g
            FROM toks, UNNEST(range(greatest(len(t) - 2, 1))) AS u(i))),
+       gram_df AS (SELECT g, COUNT(*) AS dfreq FROM allgrams GROUP BY g),
+       grams AS (SELECT doc_id, g FROM allgrams JOIN gram_df USING (g)
+                 WHERE dfreq <= 100),
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
        inter AS (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
