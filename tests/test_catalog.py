@@ -1,0 +1,54 @@
+"""Snapshot catalog tests (C13–C18 semantics offline): history, time
+travel resolving *historical* files (the reference's C18 bug, fixed),
+min/max file pruning."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_cache_spark.sources.catalog import SnapshotParquetCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return SnapshotParquetCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def test_snapshot_history_and_time_travel(spark, catalog):
+    s1 = catalog.write_snapshot("t", spark.range(0, 10))
+    s2 = catalog.write_snapshot("t", spark.range(0, 25))
+
+    hist = catalog.snapshot_history("t")
+    assert [s.snapshot_id for s in hist] == [s2.snapshot_id, s1.snapshot_id]
+    assert catalog.get_snapshot("t").snapshot_id == s2.snapshot_id
+
+    # pinned reads resolve the actual historical file set
+    assert catalog.read_table("t", snapshot_id=s1.snapshot_id).count() == 10
+    assert catalog.read_table("t").count() == 25
+    # timestamp-based travel
+    assert (
+        catalog.get_snapshot("t", as_of_timestamp_ms=s1.timestamp_ms).snapshot_id
+        == s1.snapshot_id
+    )
+    with pytest.raises(KeyError):
+        catalog.get_snapshot("t", as_of_timestamp_ms=s1.timestamp_ms - 10_000)
+
+
+def test_file_pruning_by_minmax(spark, catalog):
+    # range-partitioned write -> disjoint id ranges per file
+    df = spark.range(0, 1000).repartitionByRange(4, "id")
+    catalog.write_snapshot("p", df)
+    all_files = catalog.get_data_files("p")
+    assert len(all_files) == 4
+    assert sum(f.record_count for f in all_files) == 1000
+    pruned = catalog.get_data_files("p", partition_filter={"id": 5})
+    assert len(pruned) == 1  # only the file whose [min,max] covers 5
+    assert catalog.read_table("p", partition_filter={"id": 5}).count() == 1
+
+
+def test_stats_and_schema(spark, catalog):
+    catalog.write_snapshot("s", spark.range(0, 7).withColumnRenamed("id", "x"))
+    stats = catalog.table_stats("s")
+    assert stats["total_records"] == 7
+    assert stats["schema"] == ["x"]
+    assert stats["snapshot_count"] == 1

@@ -1,0 +1,138 @@
+"""Operator semantics with planted duplicates/neighbors — covers the
+LSH internals the oracle can't express (candidate generation, recall)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.operators import dedup as D
+from iceberg_cache_spark.operators import similarity as S
+from iceberg_cache_spark.operators import text as X
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one token changed
+OTHER = (
+    "completely unrelated text about databases and distributed query "
+    "engines running on large clusters with columnar storage formats"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = D.exact_dedup(docs, ["text"], "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 2, 3]  # doc 4 (== doc 1) collapsed to min id 1
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_dedup_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs  # near-dup found
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup: jaccard 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated not paired
+
+
+def test_minhash_signature_deterministic_across_partitionings(spark, docs):
+    sig1 = D.minhash_signatures(docs).collect()
+    sig2 = D.minhash_signatures(docs.repartition(7)).collect()
+    assert {r.doc_id: r.sig for r in sig1} == {r.doc_id: r.sig for r in sig2}
+
+
+def test_simhash_hamming_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs.get((1, 4)) == 0  # identical docs: distance 0
+    assert (1, 2) in pairs  # near dup within a few bits
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    assert 0.5 < out[(1, 2)] < 1.0  # one token change, high overlap
+    assert (1, 3) not in out
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_cosine_topk_ranks_self_first(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.cosine_topk(vectors, q, k=3).orderBy("rnk").collect()
+    assert [r.vec_id for r in out] == [1, 2, 4]
+    assert out[0].sim == 1.0
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    pairs = {
+        (r.id_a, r.id_b): r.sim
+        for r in S.embedding_near_dup_pairs(
+            vectors, threshold=0.95, dim=4, n_planes=2
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert all({a, b} != {1, 3} for a, b in pairs)
+
+
+def test_lsh_bucket_deterministic(spark, vectors):
+    b1 = {r.vec_id: r.lsh_bucket for r in S.with_lsh_bucket(vectors, "embedding", 4, 3).collect()}
+    b2 = {r.vec_id: r.lsh_bucket for r in S.with_lsh_bucket(vectors.repartition(3), "embedding", 4, 3).collect()}
+    assert b1 == b2
+
+
+# -- text -------------------------------------------------------------------
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello,  World! 42"), (2, "")], ["id", "t"])
+    out = {r.id: r.n for r in df.select("id", X.token_count(F.col("t")).alias("n")).collect()}
+    assert out[1] == 3  # hello, world, 42
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is in that room"),
+            (2, "der hund und die katze ist nicht in das haus zu"),
+            (3, "le chat et la maison est une belle que des arbres"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        ["id", "t"],
+    )
+    out = {r.id: r.lang for r in df.select("id", X.lang_id(F.col("t")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO\tWORLD  "), (4, "other")],
+        ["id", "t"],
+    )
+    fps = {r.id: r.fp for r in df.select("id", X.fingerprint(F.col("t")).alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3] != fps[4]

@@ -1,0 +1,75 @@
+"""Structured Streaming slice: the same window transforms that the
+oracle checks in batch mode, executed as real streams (file source →
+memory sink), plus watermarked dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.sources.testdata import load_table
+from iceberg_cache_spark.streaming import windows as SW
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events rewritten as a multi-file parquet dir (streaming source)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, events_dir, transform, query_name):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    batch = SW.tumbling_agg(spark.read.parquet(events_dir))
+    streamed = _run_stream(
+        spark, events_dir, lambda s: SW.stream_tumbling_agg(s, watermark="1 hour"),
+        "tumbling_mem",
+    )
+    b = {(r.win_start, r.n, r.total) for r in batch.collect()}
+    s = {(r.win_start, r.n, r.total) for r in streamed.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_streaming_session_matches_batch(spark, events_dir):
+    batch = SW.session_agg(spark.read.parquet(events_dir))
+    streamed = _run_stream(
+        spark, events_dir, lambda s: SW.stream_session_agg(s, watermark="1 hour"),
+        "session_mem",
+    )
+    b = {(r.user_id, r.sess_start, r.n) for r in batch.collect()}
+    s = {(r.user_id, r.sess_start, r.n) for r in streamed.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_stream_dedup_bounded_state(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    deduped = SW.stream_dedup(stream, ["user_id", "event_type"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n FROM dedup_mem").collect()[0].n
+    distinct = (
+        spark.read.parquet(events_dir).select("user_id", "event_type").distinct().count()
+    )
+    assert got == distinct
