@@ -42,6 +42,25 @@ class CachedQueryEngine:
     def register_parquet(self, table_id: str, path: str) -> None:
         self.register_loader(table_id, lambda: self.spark.read.parquet(path))
 
+    def register_catalog_table(self, catalog, table_id: str) -> None:
+        """Bind a snapshot-aware catalog table (SnapshotParquetCatalog or
+        IcebergCatalog). Cache keys then carry the current snapshot id, so
+        a table commit is automatically a cache miss — the semantics the
+        reference's PartitionInfo.get_cache_key intended (ref
+        ``src/core/cache_data_model.py:41-49``)."""
+        self._catalogs = getattr(self, "_catalogs", {})
+        self._catalogs[table_id] = catalog
+        self.register_loader(table_id, lambda: catalog.read_table(table_id))
+
+    def _snapshot_of(self, table_id: str) -> str | None:
+        catalog = getattr(self, "_catalogs", {}).get(table_id)
+        if catalog is None:
+            return None
+        try:
+            return catalog.get_snapshot(table_id).snapshot_id
+        except Exception:
+            return None
+
     def table(
         self,
         table_id: str,
@@ -65,7 +84,9 @@ class CachedQueryEngine:
 
         if not use_cache:
             return load()
-        key = CacheKey.of(table_id, partition_filter, columns)
+        key = CacheKey.of(
+            table_id, partition_filter, columns, snapshot_id=self._snapshot_of(table_id)
+        )
         return self.cache.get_or_load(key, load)
 
     # -- SQL entry point ----------------------------------------------------

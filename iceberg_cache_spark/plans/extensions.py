@@ -15,6 +15,7 @@ from iceberg_cache_spark.operators import dedup as D
 from iceberg_cache_spark.operators import multimodal as M
 from iceberg_cache_spark.operators import similarity as S
 from iceberg_cache_spark.operators import text as X
+from iceberg_cache_spark.operators import udfs as U
 from iceberg_cache_spark.plans.registry import declared
 from iceberg_cache_spark.sources.testdata import load_table as T
 from iceberg_cache_spark.streaming import windows as SW
@@ -265,6 +266,51 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
 def q90(spark: SparkSession, sf: str) -> DataFrame:
     d = M.with_media_column(T(spark, sf, "documents"), "text")
     return M.extract_features(d, "doc_id").orderBy("doc_id")
+
+
+@declared(
+    "q91_doc_chunking",
+    f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       c AS (SELECT doc_id, i AS chunk_id,
+               array_to_string(t[CAST(i*50+1 AS BIGINT):CAST(i*50+50 AS BIGINT)], ' ')
+                 AS chunk_text
+             FROM toks, UNNEST(range(CAST(ceil(len(t) / 50.0) AS BIGINT))) AS u(i)
+             WHERE len(t) > 0)
+       SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+              CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens
+       FROM c ORDER BY doc_id, chunk_id""",
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    return U.chunk_documents(T(spark, sf, "documents"), chunk_tokens=50).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@declared(
+    "q92_pandas_udf_norm",
+    """SELECT vec_id,
+              ROUND(SQRT(CAST(list_sum(list_transform(range(len(embedding)),
+                i -> CAST(CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)
+                          AS DECIMAL(28,12)))) AS DOUBLE)), 6) AS l2
+       FROM embeddings ORDER BY vec_id""",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    return (
+        U.with_l2_norm(e)
+        .select("vec_id", F.round("l2", 6).alias("l2"))
+        .orderBy("vec_id")
+    )
+
+
+@declared("q27_approx_count_distinct")  # approximation differs per engine
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey").alias("approx_u"))
+        .orderBy("o_orderpriority")
+    )
 
 
 # ---------------------------------------------------------------------------

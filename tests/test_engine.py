@@ -1,0 +1,47 @@
+"""Engine facade: SQL seam, read-through caching, snapshot-keyed misses."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_cache_spark.cache import CacheManager
+from iceberg_cache_spark.engine import CachedQueryEngine
+from iceberg_cache_spark.sources.catalog import SnapshotParquetCatalog
+
+
+@pytest.fixture()
+def engine(spark):
+    return CachedQueryEngine(spark, CacheManager(capacity_bytes=10**9))
+
+
+def test_sql_over_registered_tables(spark, sf_dir, engine):
+    for t in ("region", "nation"):
+        engine.register_parquet(t, os.path.join(sf_dir, f"{t}.parquet"))
+    rows = engine.sql(
+        "SELECT r.r_name, COUNT(*) AS n FROM region r "
+        "JOIN nation n ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    ).collect()
+    assert len(rows) == 5 and all(r.n == 5 for r in rows)
+    # second query hits the cache for both tables
+    hits_before = engine.stats()["hits"]
+    engine.sql("SELECT COUNT(*) AS n FROM nation").collect()
+    assert engine.stats()["hits"] > hits_before
+    engine.cache.clear()
+
+
+def test_snapshot_commit_is_cache_miss(spark, tmp_path, engine):
+    catalog = SnapshotParquetCatalog(spark, str(tmp_path / "wh"))
+    catalog.write_snapshot("t", spark.range(0, 10))
+    engine.register_catalog_table(catalog, "t")
+
+    assert engine.table("t").count() == 10
+    assert engine.table("t").count() == 10  # cache hit, same snapshot
+    stats = engine.stats()
+    assert stats["hits"] == 1 and stats["misses"] == 1
+
+    catalog.write_snapshot("t", spark.range(0, 30))
+    assert engine.table("t").count() == 30  # new snapshot -> miss -> reload
+    assert engine.stats()["misses"] == 2
+    engine.cache.clear()
