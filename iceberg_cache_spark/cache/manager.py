@@ -48,6 +48,7 @@ class CacheEntry:
     created_at: float = field(default_factory=time.time)
     last_accessed: float = field(default_factory=time.time)
     access_count: int = 0
+    key: object = None  # original CacheKey when provided (for subsumption)
 
     def touch(self) -> None:
         self.last_accessed = time.time()
@@ -106,8 +107,32 @@ class CacheManager:
         with self._lock:
             self._evict_until_fits(size)
             df = df.persist(self.storage_level)
-            self._entries[str(key)] = CacheEntry(df=df, size_bytes=size)
+            self._entries[str(key)] = CacheEntry(
+                df=df, size_bytes=size, key=key if isinstance(key, CacheKey) else None
+            )
         return df
+
+    def find_subsuming(self, key: CacheKey) -> DataFrame | None:
+        """Column-subsumption reuse: an entry for the same table /
+        snapshot / partition filter whose column set is a superset (or a
+        full-column entry) can serve a narrower projection without a
+        reload — the improvement the reference's keying scheme left on
+        the table (SURVEY.md §4.1 'predicate-aware cache keying')."""
+        with self._lock:
+            for entry in self._entries.values():
+                ck = entry.key
+                if not isinstance(ck, CacheKey):
+                    continue
+                if (
+                    ck.table_id == key.table_id
+                    and ck.snapshot_id == key.snapshot_id
+                    and ck.partition_filter == key.partition_filter
+                    and (not ck.columns or set(key.columns) <= set(ck.columns))
+                ):
+                    entry.touch()
+                    self._hits += 1
+                    return entry.df
+            return None
 
     def get_or_load(
         self,

@@ -87,7 +87,16 @@ class CachedQueryEngine:
         key = CacheKey.of(
             table_id, partition_filter, columns, snapshot_id=self._snapshot_of(table_id)
         )
-        return self.cache.get_or_load(key, load)
+        cached = self.cache.get(key)
+        if cached is not None:
+            return cached
+        if columns:
+            superset = self.cache.find_subsuming(key)
+            if superset is not None:
+                return superset.select(*columns)  # projection of cached blocks
+        df = self.cache.put(key, load())
+        df.count()  # materialize persisted blocks
+        return df
 
     # -- SQL entry point ----------------------------------------------------
 

@@ -839,3 +839,160 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     return e.select(
         "event_id", F.get_json_object("props", "$.k").alias("k")
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Coverage batch 2: grouping sets, frames, analytics, more scalar families
+# ---------------------------------------------------------------------------
+
+from iceberg_cache_spark.sources.testdata import register_views  # noqa: E402
+
+
+@declared(
+    "q28_grouping_sets",
+    """SELECT n_regionkey, n_name, CAST(COUNT(*) AS BIGINT) AS n FROM nation
+       GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())
+       ORDER BY n_regionkey NULLS FIRST, n_name NULLS FIRST""",
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    # GROUPING SETS has no DataFrame-API form; the SQL seam is the
+    # idiomatic Spark expression (same Catalyst Expand plan as rollup).
+    register_views(spark, sf)
+    return spark.sql(
+        """SELECT n_regionkey, n_name, CAST(COUNT(*) AS BIGINT) AS n FROM nation
+           GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())
+           ORDER BY n_regionkey ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+    )
+
+
+@declared(
+    "q29_percentile",
+    """SELECT l_returnflag,
+              ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+              ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "q35_range_frame",
+    """SELECT o_orderkey,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                   OVER (ORDER BY o_orderkey
+                         RANGE BETWEEN 10 PRECEDING AND CURRENT ROW), 2)
+                   AS DOUBLE) AS win_sum
+       FROM orders ORDER BY o_orderkey""",
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.orderBy("o_orderkey").rangeBetween(-10, W.currentRow)
+    return (
+        T(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 2)
+            .cast("double")
+            .alias("win_sum"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "q36_first_last_nth",
+    """SELECT o_orderkey,
+              FIRST_VALUE(o_orderkey) OVER w AS fv,
+              LAST_VALUE(o_orderkey) OVER w AS lv,
+              NTH_VALUE(o_orderkey, 2) OVER w AS nv
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_orderkey""",
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        T(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("fv"),
+            F.last("o_orderkey").over(w).alias("lv"),
+            F.nth_value("o_orderkey", 2).over(w).alias("nv"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "q49_string_position",
+    """SELECT p_partkey,
+              CAST(instr(p_name, 'a') AS BIGINT) AS ia,
+              string_split(p_type, ' ')[1] AS t1,
+              repeat(p_brand, 2) AS b2,
+              reverse(p_brand) AS rb
+       FROM part ORDER BY p_partkey""",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.instr("p_name", "a").cast("bigint").alias("ia"),
+        F.element_at(F.split("p_type", " "), 1).alias("t1"),
+        F.repeat("p_brand", 2).alias("b2"),
+        F.reverse(F.col("p_brand")).alias("rb"),
+    ).orderBy("p_partkey")
+
+
+@declared(
+    "q59_ts_arith",
+    """SELECT event_id,
+              CAST(CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS TIMESTAMP) AS plus1h,
+              CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS unix_s,
+              CAST(CAST(ts AS DATE) + 5 AS DATE) AS d5,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS dd
+       FROM events ORDER BY event_id""",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("plus1h"),
+        F.unix_timestamp("ts").cast("bigint").alias("unix_s"),
+        F.date_add(F.col("ts").cast("date"), 5).alias("d5"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dd"),
+    ).orderBy("event_id")
+
+
+@declared(
+    "q37_posexplode",
+    """SELECT vec_id, CAST(i AS BIGINT) AS pos,
+              ROUND(CAST(embedding[i+1] AS DOUBLE), 4) AS val
+       FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+       WHERE vec_id < 3 ORDER BY vec_id, pos""",
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings").filter(F.col("vec_id") < 3)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.round(F.col("v").cast("double"), 4).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )

@@ -45,3 +45,18 @@ def test_snapshot_commit_is_cache_miss(spark, tmp_path, engine):
     assert engine.table("t").count() == 30  # new snapshot -> miss -> reload
     assert engine.stats()["misses"] == 2
     engine.cache.clear()
+
+
+def test_column_subsumption_reuse(spark, tmp_path, engine):
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return spark.range(100).selectExpr("id", "id * 2 AS a", "id * 3 AS b")
+
+    engine.register_loader("t", loader)
+    engine.table("t")  # full-column entry
+    narrow = engine.table("t", columns=["id", "a"])  # served from cache
+    assert len(calls) == 1
+    assert narrow.columns == ["id", "a"] and narrow.count() == 100
+    engine.cache.clear()

@@ -73,3 +73,31 @@ def test_stream_dedup_bounded_state(spark, events_dir):
         spark.read.parquet(events_dir).select("user_id", "event_type").distinct().count()
     )
     assert got == distinct
+
+
+def test_stateful_user_stats(spark, events_dir):
+    from iceberg_cache_spark.streaming.stateful import stream_user_stats
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        stream_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user == batch ground truth
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM user_stats_mem").collect()
+    }
+    batch = spark.read.parquet(events_dir).groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t")
+    )
+    want = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid, (n, _) in want.items():
+        assert got[uid][0] == n
