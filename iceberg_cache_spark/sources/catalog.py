@@ -77,8 +77,15 @@ class SnapshotParquetCatalog:
         with open(self._log_path(table_id), "w") as f:
             json.dump(log, f, indent=1)
 
-    def write_snapshot(self, table_id: str, df: DataFrame) -> SnapshotInfo:
-        """Append a new snapshot: write data files, extend the log."""
+    def write_snapshot(
+        self, table_id: str, df: DataFrame, mode: str = "overwrite"
+    ) -> SnapshotInfo:
+        """Commit a new snapshot. ``mode='overwrite'`` replaces table
+        content; ``mode='append'`` carries the previous snapshot's files
+        forward (Iceberg-append semantics — data files are immutable and
+        shared between snapshots)."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unknown write mode '{mode}'")
         snap_id = uuid.uuid4().hex[:16]
         ts_ms = int(time.time() * 1000)
         data_dir = os.path.join(self.root, table_id, f"snap-{snap_id}")
@@ -88,6 +95,10 @@ class SnapshotParquetCatalog:
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
+        if mode == "append":
+            log_now = self._read_log(table_id)
+            if log_now:
+                files = sorted(set(files) | set(log_now[-1]["files"]))
         records = sum(pq.read_metadata(f).num_rows for f in files)
         size = sum(os.path.getsize(f) for f in files)
         log = self._read_log(table_id)

@@ -162,3 +162,19 @@ def test_maintenance_thread_lifecycle():
     time.sleep(0.2)
     m.stop_maintenance()
     assert m.keys() == []  # the sweep actually ran (unlike the reference)
+
+
+# -- bloom index (C11 — consulted for real, unlike the reference) -----------
+
+
+def test_bloom_index_fp_rate(spark):
+    """Reference-style statistical bound (<5% FP over 1000 absent keys,
+    ref src/tests/test_bloom_filter.py:25-47)."""
+    from iceberg_cache_spark.cache.bloom import EntryBloomIndex
+
+    df = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS s")
+    idx = EntryBloomIndex(df, "s", num_bits=1 << 16)
+    assert all(idx.might_contain(str(i)) for i in range(0, 1000, 50))  # no FN
+    fps = sum(idx.might_contain(str(i)) for i in range(100_000, 101_000))
+    assert fps / 1000 < 0.05
+    assert idx.definitely_absent("nope-definitely-not-there")

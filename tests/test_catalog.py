@@ -52,3 +52,14 @@ def test_stats_and_schema(spark, catalog):
     assert stats["total_records"] == 7
     assert stats["schema"] == ["x"]
     assert stats["snapshot_count"] == 1
+
+
+def test_append_mode_shares_files(spark, catalog):
+    catalog.write_snapshot("a", spark.range(0, 10))
+    s2 = catalog.write_snapshot("a", spark.range(100, 105), mode="append")
+    assert catalog.read_table("a").count() == 15
+    assert catalog.read_table("a", snapshot_id=s2.snapshot_id).count() == 15
+    first = catalog.snapshot_history("a")[-1]
+    assert set(first.files) < set(s2.files)  # immutable files shared forward
+    with pytest.raises(ValueError):
+        catalog.write_snapshot("a", spark.range(1), mode="merge")

@@ -136,3 +136,32 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     )
     fps = {r.id: r.fp for r in df.select("id", X.fingerprint(F.col("t")).alias("fp")).collect()}
     assert fps[1] == fps[2] == fps[3] != fps[4]
+
+
+# -- skew helpers -----------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from iceberg_cache_spark.operators.skew import salted_join
+
+    large = spark.range(0, 10_000).selectExpr("id % 3 AS k", "id AS v")  # hot keys
+    medium = spark.range(0, 3).selectExpr("id AS k", "id * 100 AS w")
+    plain = large.join(medium, "k").selectExpr("k", "v", "w")
+    salted = salted_join(large, medium, "k").selectExpr("k", "v", "w")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_sum_matches_plain_sum(spark):
+    from iceberg_cache_spark.operators.skew import salted_sum
+    from pyspark.sql import functions as F2
+
+    df = spark.range(0, 10_000).selectExpr("id % 5 AS k", "CAST(id AS DOUBLE) AS v")
+    plain = {
+        r.k: r.s
+        for r in df.groupBy("k").agg(F2.sum(F2.col("v").cast("decimal(25,6)")).alias("s")).collect()
+    }
+    salted = {
+        r.k: r.total
+        for r in salted_sum(df, "k", F2.col("v").cast("decimal(25,6)"), "total").collect()
+    }
+    assert plain == salted

@@ -1,0 +1,42 @@
+"""Plan-quality guards: the physical plans we rely on at 100 TB. These
+fail if a code change silently degrades pushdown, pruning, or join
+strategy (e.g. losing a broadcast to a cartesian)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_cache_spark.plans import QUERIES
+
+
+def physical(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_multiway_join_broadcasts_all_dims(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q17_multiway_join_agg")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_query_prunes_columns(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q02_filter")
+    # scan must not read unreferenced columns
+    assert "l_tax" not in plan and "l_extendedprice" not in plan
+    assert "l_quantity" in plan  # filter column does reach the scan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q40_order_limit")
+    assert "TakeOrderedAndProject" in plan  # no full global sort for LIMIT
+
+
+def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q16_theta_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q13_semi_join")
+    assert "LeftSemi" in plan
