@@ -996,3 +996,81 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
+
+
+@declared(
+    "q75_pivot",
+    """SELECT l_returnflag,
+              CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F'
+                   THEN CAST(l_quantity AS DECIMAL(25,6)) END), 2) AS DOUBLE) AS qty_F,
+              CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                   THEN CAST(l_quantity AS DECIMAL(25,6)) END), 2) AS DOUBLE) AS qty_O
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)), 2).cast("double"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    ).orderBy("l_returnflag")
+
+
+@declared(
+    "q76_values_inline",
+    """SELECT v.k, v.name, r.r_name FROM
+       (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS v(k, name)
+       JOIN region r ON r.r_regionkey = v.k ORDER BY v.k""",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    r = T(spark, sf, "region")
+    v = spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two")], ["k", "name"])
+    return (
+        v.join(r, v.k == r.r_regionkey)
+        .select("k", "name", "r_name")
+        .orderBy("k")
+    )
+
+
+@declared(
+    "q77_except_all",
+    """SELECT o_custkey FROM orders EXCEPT ALL
+       SELECT c_custkey FROM customer ORDER BY o_custkey""",
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select("o_custkey")
+    c = T(spark, sf, "customer").select("c_custkey")
+    return o.exceptAll(c).orderBy("o_custkey")
+
+
+@declared(
+    "q78_intersect_all",
+    """SELECT o_custkey FROM orders INTERSECT ALL
+       SELECT c_custkey FROM customer ORDER BY o_custkey""",
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select("o_custkey")
+    c = T(spark, sf, "customer").select("c_custkey")
+    return o.intersectAll(c).orderBy("o_custkey")
+
+
+@declared(
+    "q79_correlated_exists_ineq",
+    """SELECT o_orderkey FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_extendedprice > o.o_totalprice * 0.5)
+       ORDER BY o_orderkey""",
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_extendedprice > o.o_totalprice * 0.5
+    )
+    return o.join(li, cond, "left_semi").select("o_orderkey").orderBy("o_orderkey")

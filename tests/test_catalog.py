@@ -63,3 +63,17 @@ def test_append_mode_shares_files(spark, catalog):
     assert set(first.files) < set(s2.files)  # immutable files shared forward
     with pytest.raises(ValueError):
         catalog.write_snapshot("a", spark.range(1), mode="merge")
+
+
+def test_metadata_latency_smoke(spark, catalog):
+    """Perf smoke mirroring the reference's only executable perf bound:
+    avg get_data_files < 5.0 s over 10 iterations
+    (ref src/tests/test_metadata_manager.py:248-262)."""
+    import time as _time
+
+    catalog.write_snapshot("perf", spark.range(0, 100))
+    t0 = _time.time()
+    for _ in range(10):
+        files = catalog.get_data_files("perf")
+        assert files
+    assert (_time.time() - t0) / 10 < 5.0
