@@ -43,8 +43,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
-        # int64 ns -> microsecond timestamp; integer div keeps full precision
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # int64 ns -> microsecond timestamp; integer div keeps full
+        # precision (a double round-trip would lose ~hundreds of ns on
+        # 1.7e18 values). Cast to TIMESTAMP_NTZ (session is pinned UTC):
+        # the other tables' parquet timestamps are not UTC-adjusted and
+        # already read as NTZ, and naive values compare cleanly with the
+        # DuckDB oracle, which has no timezone annotation at all.
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
     return df
 
 

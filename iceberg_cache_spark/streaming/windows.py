@@ -56,20 +56,35 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
+def _with_event_time(events: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local-tz semantics); batch-side
+    canonical ``ts`` is TIMESTAMP_NTZ. Cast at the boundary — with the
+    session pinned to UTC (session.ensure_session_defaults) the NTZ↔LTZ
+    round-trip is the identity on wall-clock values."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def stream_tumbling_agg(
     events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:
     """Streaming variant: watermark bounds state; late events beyond the
     watermark are dropped. Use with ``readStream`` sources."""
-    return tumbling_agg(events.withWatermark("ts", watermark), width)
+    out = tumbling_agg(_with_event_time(events).withWatermark("ts", watermark), width)
+    return out.withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
 
 
 def stream_session_agg(
     events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:
-    return session_agg(events.withWatermark("ts", watermark), gap)
+    out = session_agg(_with_event_time(events).withWatermark("ts", watermark), gap)
+    return out.withColumn("sess_start", F.col("sess_start").cast("timestamp_ntz"))
 
 
 def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup with bounded state."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    deduped = (
+        _with_event_time(events)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+    return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
