@@ -364,3 +364,84 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
     return SW.session_agg(T(spark, sf, "events"), "5 minutes").orderBy(
         "user_id", "sess_start"
     )
+
+
+@declared(
+    "q68_pii_scrub",
+    r"""SELECT doc_id,
+              regexp_replace(regexp_replace(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+                '\d{6,}', '<NUM>', 'g') AS scrubbed
+       FROM documents ORDER BY doc_id""",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub: deterministic regex masking (emails, long digit runs) —
+    the redaction stage of a training-data pipeline, scan-local."""
+    d = T(spark, sf, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"
+        ),
+        r"\d{6,}",
+        "<NUM>",
+    )
+    return d.select("doc_id", scrub.alias("scrubbed")).orderBy("doc_id")
+
+
+_QUALITY_CTE = f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKS.format(c='text')} AS toks,
+       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+     FROM documents),
+r AS (SELECT doc_id, toks,
+    CASE WHEN length(text) > 0 THEN n_punct / CAST(length(text) AS DOUBLE)
+         ELSE 0.0 END AS pr,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains(
+                ['the','and','of','to','is','in','that','it'], x)))
+              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS sr,
+    length(text) AS nc FROM t),
+caps AS (SELECT doc_id, toks,
+    CAST(nc AS DECIMAL(12,3)) * CAST(0.002 AS DECIMAL(4,3)) AS lens,
+    CAST(pr AS DECIMAL(18,12)) * 4 AS p4,
+    CAST(sr AS DECIMAL(18,12)) * 5 AS s5 FROM r),
+q AS (SELECT doc_id, toks,
+    CAST(ROUND(
+      CAST(0.4 AS DECIMAL(2,1)) *
+        (CASE WHEN lens < 1 THEN lens ELSE CAST(1.0 AS DECIMAL(12,6)) END)
+      + CAST(0.3 AS DECIMAL(2,1)) *
+        (CAST(1.0 AS DECIMAL(2,1))
+         - CASE WHEN p4 < 1 THEN p4 ELSE CAST(1.0 AS DECIMAL(18,12)) END)
+      + CAST(0.3 AS DECIMAL(2,1)) *
+        (CASE WHEN s5 < 1 THEN s5 ELSE CAST(1.0 AS DECIMAL(18,12)) END),
+    4) AS DOUBLE) AS quality FROM caps),
+lang AS (SELECT doc_id, quality,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS en,
+    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], x))) AS de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','que','des'], x))) AS fr,
+    len(list_filter(toks, x -> list_contains(['el','los','las','es','una','que','por','con'], x))) AS es
+  FROM q)
+"""
+
+
+@declared(
+    "q69_quality_filter",
+    _QUALITY_CTE
+    + """SELECT doc_id FROM lang
+       WHERE quality >= 0.5
+         AND greatest(en, de, fr, es) > 0 AND en = greatest(en, de, fr, es)
+       ORDER BY doc_id""",
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    """Pipeline composition: keep high-quality English documents — the
+    canonical pretraining-corpus filter, all scan-local expressions."""
+    d = T(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            X.quality_score(F.col("text")).alias("quality"),
+            X.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

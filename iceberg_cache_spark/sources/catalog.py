@@ -285,3 +285,12 @@ class IcebergCatalog:
             f"SELECT file_path, record_count, file_size_in_bytes, "
             f"lower_bounds, upper_bounds FROM {self.catalog}.{table_id}.files"
         )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink: directory layout ``col=value/`` so any
+    engine (and Spark's own partition pruning) can skip at the file
+    level — the lake-write counterpart of the catalog's read pruning."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

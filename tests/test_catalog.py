@@ -77,3 +77,16 @@ def test_metadata_latency_smoke(spark, catalog):
         files = catalog.get_data_files("perf")
         assert files
     assert (_time.time() - t0) / 10 < 5.0
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    from iceberg_cache_spark.sources.catalog import write_partitioned
+
+    df = spark.range(0, 100).selectExpr("id", "id % 4 AS part")
+    out = str(tmp_path / "part_table")
+    write_partitioned(df, out, ["part"])
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    plan = back.filter("part = 2")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan  # pruning at plan time
+    assert back.filter("part = 2").count() == 25
