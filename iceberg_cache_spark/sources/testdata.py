@@ -37,9 +37,19 @@ TABLE_NAMES = (
 )
 
 
+# Memoized logical plans: re-`read.parquet` per query re-lists files and
+# re-reads footers on the driver; the DataFrame (an immutable plan) is
+# safely shareable. Keyed by Spark application so stale sessions miss.
+_df_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy; no driver collect)."""
     ensure_session_defaults(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
@@ -52,6 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+    _df_cache[key] = df
     return df
 
 
