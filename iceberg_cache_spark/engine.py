@@ -100,12 +100,33 @@ class CachedQueryEngine:
 
     # -- SQL entry point ----------------------------------------------------
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, cache_result: bool = False) -> DataFrame:
         """Register all known tables as temp views, then delegate to
-        Catalyst (the reference's ``execute_query`` seam)."""
+        Catalyst (the reference's ``execute_query`` seam).
+
+        ``cache_result=True`` enables plan-fingerprint result reuse
+        (SURVEY.md §4.4's stretch goal): the canonicalized analyzed
+        plan's semantic hash keys a persisted result, so any SQL that
+        Catalyst normalizes to the same plan — different whitespace,
+        aliasing, predicate order — is served from cache without
+        re-execution."""
         for table_id in self._loaders:
             self.table(table_id).createOrReplaceTempView(table_id)
-        return self.spark.sql(query)
+        df = self.spark.sql(query)
+        if not cache_result:
+            return df
+        key = f"__plan#{self._plan_fingerprint(df)}"
+        cached = self.cache.get(key)
+        if cached is not None:
+            return cached
+        return self.cache.put(key, df)
+
+    @staticmethod
+    def _plan_fingerprint(df: DataFrame) -> str:
+        """Semantic hash of the canonicalized analyzed plan (attribute
+        ids normalized away). No public PySpark API — JVM access."""
+        plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        return str(plan.canonicalized().semanticHash())
 
     # -- lifecycle ----------------------------------------------------------
 

@@ -61,6 +61,58 @@ def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_size: int = 64,
+    every_n: int = 2,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for video/audio payloads: one output row per kept
+    frame, Arrow-batched. With ``fake=True`` frames are fixed-size byte
+    windows of the payload (a deterministic stand-in for codec frame
+    extraction, which needs av/ffmpeg — not present here). The Spark
+    contract is the real thing: fan-out row multiplicity, binary output
+    column, per-partition batching."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, blobs, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if not fake:  # pragma: no cover
+                    decode_media(payload, "video/mp4")
+                data = bytes(payload)
+                frames = [
+                    data[i : i + frame_size]
+                    for i in range(0, max(len(data), 1), frame_size)
+                ]
+                for fid, frame in enumerate(frames[::every_n]):
+                    ids.append(doc_id)
+                    fids.append(fid)
+                    blobs.append(frame)
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int64"),
+                    "frame_bytes": pd.Series(blobs, dtype="object"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over (id, payload) partitions.
 

@@ -82,10 +82,13 @@ def cosine_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(
-            _exact_dot(F.col(vec_col), F.col("q_vec"))
-            / (F.col("c_norm") * F.col("q_norm")),
-            6,
+        (
+            F.round(
+                _exact_dot(F.col(vec_col), F.col("q_vec"))
+                / (F.col("c_norm") * F.col("q_norm")),
+                6,
+            )
+            + 0.0  # normalize IEEE -0.0 (engines disagree on its sign)
         ).alias("sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
@@ -148,10 +151,13 @@ def lsh_cosine_topk(
     scored = c.join(F.broadcast(q), "lsh_bucket").select(
         query_id_col,
         id_col,
-        F.round(
-            _exact_dot(F.col(vec_col), F.col("q_vec"))
-            / (F.col("c_norm") * F.col("q_norm")),
-            6,
+        (
+            F.round(
+                _exact_dot(F.col(vec_col), F.col("q_vec"))
+                / (F.col("c_norm") * F.col("q_norm")),
+                6,
+            )
+            + 0.0  # normalize IEEE -0.0 (engines disagree on its sign)
         ).alias("sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
@@ -197,10 +203,13 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                _exact_dot(F.col("v_a"), F.col("v_b"))
-                / (F.col("n_a") * F.col("n_b")),
-                6,
+            (
+                F.round(
+                    _exact_dot(F.col("v_a"), F.col("v_b"))
+                    / (F.col("n_a") * F.col("n_b")),
+                    6,
+                )
+                + 0.0
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)

@@ -217,7 +217,7 @@ scored AS (
                   AS DECIMAL(28,12)))) AS DOUBLE)) AS nb
   FROM embeddings e CROSS JOIN q),
 ranked AS (
-  SELECT query_id, vec_id, ROUND(dot / (na * nb), 6) AS sim,
+  SELECT query_id, vec_id, ROUND(dot / (na * nb), 6) + 0.0 AS sim,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_id) AS BIGINT) AS rnk
   FROM scored)

@@ -815,7 +815,7 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
 @declared(
     "q57_array_funcs",
     """SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS d,
-              ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0,
+              ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS e0,
               CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS npos
        FROM embeddings ORDER BY vec_id""",
 )
@@ -824,7 +824,9 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("d"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+        # + 0.0 normalizes IEEE negative zero: DuckDB ROUND keeps -0.0
+        # where Spark produces 0.0 — the only value the addition changes
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + 0.0).alias("e0"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("npos"),
     ).orderBy("vec_id")
 
@@ -981,7 +983,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
 @declared(
     "q37_posexplode",
     """SELECT vec_id, CAST(i AS BIGINT) AS pos,
-              ROUND(CAST(embedding[i+1] AS DOUBLE), 4) AS val
+              ROUND(CAST(embedding[i+1] AS DOUBLE), 4) + 0.0 AS val
        FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
        WHERE vec_id < 3 ORDER BY vec_id, pos""",
 )
@@ -992,7 +994,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("pos").cast("bigint").alias("pos"),
-            F.round(F.col("v").cast("double"), 4).alias("val"),
+            (F.round(F.col("v").cast("double"), 4) + 0.0).alias("val"),
         )
         .orderBy("vec_id", "pos")
     )

@@ -81,3 +81,22 @@ def test_build_engine_from_config(spark, sf_dir):
 
     with pytest.raises(ValueError):
         build_engine(EngineConfig(eviction_policy="nope"))
+
+
+def test_plan_fingerprint_result_cache(spark, sf_dir, engine):
+    import os as _os
+
+    engine.register_parquet("region", _os.path.join(sf_dir, "region.parquet"))
+    q1 = "SELECT r_regionkey, COUNT(*) AS n FROM region GROUP BY r_regionkey"
+    # same plan, cosmetically different SQL
+    q2 = "SELECT   r_regionkey,  COUNT(*)   AS n\nFROM region\nGROUP BY r_regionkey"
+    d1 = engine.sql(q1, cache_result=True)
+    misses_after_first = engine.stats()["misses"]
+    d2 = engine.sql(q2, cache_result=True)
+    assert engine.stats()["misses"] == misses_after_first  # plan-level hit
+    assert d2.is_cached
+    assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
+    # semantically different SQL is a different fingerprint
+    engine.sql(q1 + " HAVING COUNT(*) > 0", cache_result=True)
+    assert engine.stats()["misses"] == misses_after_first + 1
+    engine.cache.clear()

@@ -165,3 +165,40 @@ def test_salted_sum_matches_plain_sum(spark):
         for r in salted_sum(df, "k", F2.col("v").cast("decimal(25,6)"), "total").collect()
     }
     assert plain == salted
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+
+def test_multimodal_frame_sampling(spark):
+    from iceberg_cache_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b" * 10), (3, "")], ["doc_id", "text"]
+    )
+    media = M.with_media_column(df, "text", modality="video", mime="video/mp4")
+    meta = {r.doc_id: r.media_meta for r in media.collect()}
+    assert meta[1].nbytes == 300 and meta[1].modality == "video"
+
+    frames = M.sample_frames(media, frame_size=64, every_n=2)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 300 bytes -> 5 windows of 64 -> every 2nd -> 3 frames
+    assert len(by_doc[1]) == 3
+    assert len(by_doc[2]) == 1
+    assert all(len(r.frame_bytes) <= 64 for r in rows)
+    # deterministic across partitionings
+    again = {(r.doc_id, r.frame_id): r.frame_hash
+             for r in M.sample_frames(media.repartition(3), frame_size=64, every_n=2).collect()}
+    assert {(r.doc_id, r.frame_id): r.frame_hash for r in rows} == again
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from iceberg_cache_spark.operators.multimodal import decode_media
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"bytes", "image/png")
