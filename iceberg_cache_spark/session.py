@@ -60,6 +60,47 @@ def get_spark(
     return spark
 
 
+def cluster_conf(
+    data_tb: float = 100.0,
+    executors: int = 1000,
+    cores_per_executor: int = 8,
+    executor_mem_gb: int = 64,
+) -> dict[str, str]:
+    """Recommended conf for the target deployment (100 TB / ~1000
+    executors). Local mode ignores most of these; on a cluster pass them
+    through ``get_spark(extra_conf=cluster_conf())`` or spark-submit.
+
+    Sizing logic:
+    - shuffle partitions ≈ max(2 × total cores, data / 200 MB-per-task),
+      capped sanely — every big join/agg task should own a partition
+      that fits in memory with headroom for AQE to coalesce.
+    - AQE owns runtime re-planning (skew splits, partition coalescing,
+      broadcast demotion); these are starting points, not hand tuning.
+    """
+    total_cores = executors * cores_per_executor
+    by_size = int(data_tb * 1024 * 1024 / 200)  # 200 MB target per task
+    shuffle_parts = max(2 * total_cores, min(by_size, 200_000))
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": "268435456",  # 256 MB scan splits
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.memory.fraction": "0.6",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        # streaming state at scale
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }
+
+
 def ensure_session_defaults(spark: SparkSession) -> None:
     """Make an externally-created session safe for this engine.
 

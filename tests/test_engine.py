@@ -100,3 +100,14 @@ def test_plan_fingerprint_result_cache(spark, sf_dir, engine):
     engine.sql(q1 + " HAVING COUNT(*) > 0", cache_result=True)
     assert engine.stats()["misses"] == misses_after_first + 1
     engine.cache.clear()
+
+
+def test_cluster_conf_sizing():
+    from iceberg_cache_spark.session import cluster_conf
+
+    conf = cluster_conf(data_tb=100, executors=1000, cores_per_executor=8)
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    assert 16_000 <= parts <= 200_000  # ≥ 2x cores, bounded
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    small = cluster_conf(data_tb=0.1, executors=4, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) >= 32
