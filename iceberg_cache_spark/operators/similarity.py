@@ -215,3 +215,115 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantization + probed search
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmin L2 via the
+    double fold — deterministic). Centroids ship as plan literals."""
+    best_id, best_d = None, None
+    for cid, cvec in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit_c, lambda x, y: (x.cast("double") - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_id is None:
+            best_id, best_d = F.lit(cid), d
+        else:
+            best_id = F.when(d < best_d, F.lit(cid)).otherwise(best_id)
+            best_d = F.least(d, best_d)
+    return df.withColumn(out, best_id)
+
+
+def ivf_centroids_from_sample(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the vectors whose ids hash into
+    distinct buckets (a seeding pass; k-means refinement is an optional
+    offline job — the *index structure* is what matters for the probe
+    path). Small driver-side list, broadcast into the plan."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_b", F.abs(F.xxhash64(F.col(id_col).cast("string"))) % n_cells)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("_b").orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("_b", vec_col)
+        .collect()
+    )
+    return [(int(r["_b"]), [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF probe: score only corpus vectors in the query's ``n_probe``
+    nearest cells. At 100 TB the corpus is *partitioned by ivf_cell*, so
+    a probe is file-level pruning + a small scan, not a full pass."""
+    c = ivf_assign(corpus, centroids, vec_col).select(
+        id_col, vec_col, "ivf_cell", _norm(F.col(vec_col)).alias("c_norm")
+    )
+    # query → its n_probe nearest centroids (explode into probe rows)
+    probe_structs = []
+    for cid, cvec in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit_c, lambda x, y: (x.cast("double") - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probe_structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cell")))
+    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(F.transform(probes, lambda p: p["cell"])).alias("ivf_cell"),
+    )
+    scored = c.join(F.broadcast(q), "ivf_cell").select(
+        query_id_col,
+        id_col,
+        (
+            F.round(
+                _exact_dot(F.col(vec_col), F.col("q_vec"))
+                / (F.col("c_norm") * F.col("q_norm")),
+                6,
+            )
+            + 0.0
+        ).alias("sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "sim", "rnk")
+    )

@@ -445,3 +445,13 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@declared("q73_ivf_cosine_topk")  # approximate (probe subset): rows-only
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    cents = S.ivf_centroids_from_sample(e, n_cells=16)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_cosine_topk(e, q, cents, k=5, n_probe=4).orderBy("query_id", "rnk")

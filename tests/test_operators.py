@@ -202,3 +202,19 @@ def test_multimodal_decode_stub_raises(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_media(b"bytes", "image/png")
+
+
+def test_ivf_topk_recall(spark):
+    from pyspark.sql import functions as F3
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.ivf_centroids_from_sample(e, n_cells=8)
+    assert len(cents) == 8
+    q = e.filter(F3.col("vec_id") < 10).select(
+        F3.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = {(r.query_id, r.vec_id) for r in S.ivf_cosine_topk(e, q, cents, k=5, n_probe=4).collect()}
+    brute = {(r.query_id, r.vec_id) for r in S.cosine_topk(e, q, k=5).collect()}
+    # every query finds itself, and probe recall is high on this corpus
+    assert all((i, i) in ivf for i in range(10))
+    assert len(ivf & brute) / len(brute) >= 0.6
