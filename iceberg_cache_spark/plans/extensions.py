@@ -455,3 +455,58 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_cosine_topk(e, q, cents, k=5, n_probe=4).orderBy("query_id", "rnk")
+
+
+@declared(
+    "q93_bpe_token_stats",
+    r"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS alpha_runs,
+              CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_runs,
+              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_marks,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                   + len(regexp_extract_all(text, '[0-9]+'))
+                   + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+                AS bpeish_tokens
+       FROM documents ORDER BY doc_id""",
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-flavoured token accounting: letter runs + digit runs + single
+    punctuation marks — the sub-word budget estimate a training pipeline
+    uses for document sizing (JVM regex, scan-local)."""
+    d = T(spark, sf, "documents")
+    alpha = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0))).cast("bigint")
+    digit = F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).cast("bigint")
+    punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        alpha.alias("alpha_runs"),
+        digit.alias("digit_runs"),
+        punct.alias("punct_marks"),
+        (alpha + digit + punct).alias("bpeish_tokens"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "q94_vocabulary",
+    f"""WITH toks AS (SELECT doc_id, UNNEST({_DUCK_TOKS.format(c='text')}) AS tok
+         FROM documents),
+       counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+                         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+                  FROM toks GROUP BY tok)
+       SELECT tok, freq, doc_freq FROM counts
+       ORDER BY freq DESC, tok LIMIT 50""",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary building: global term + document frequencies, top-50 —
+    one explode + one partial-aggregated groupBy; TakeOrdered for the
+    cut (no full sort at scale)."""
+    d = T(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode_outer(X.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq")
+    )
+    return counts.orderBy(F.col("freq").desc(), F.col("tok")).limit(50)
