@@ -15,6 +15,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from iceberg_cache_spark.operators.text import tokens
@@ -293,4 +294,90 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_ppjoin(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs ≥ num/den via prefix filtering
+    (PPJoin-style; public algorithm from Chaudhuri et al. / Xiao et al.).
+
+    Every doc's grams are ordered by ascending global document frequency
+    (rarest first); if J(A,B) ≥ t, A and B must share a gram within the
+    first |A| − ⌈t·|A|⌉ + 1 grams of that order. Only *prefix* grams
+    enter the inverted-index join, so candidate fan-out is bounded by
+    rare-gram frequencies instead of Σ df² over all grams — the exact
+    counterpart of the df-capped variant, with no semantic cut.
+
+    The threshold is a rational (num/den) and all prefix arithmetic is
+    integer — a float ⌈t·sz⌉ can round up past the true value and
+    silently drop qualifying pairs.
+    """
+    grams = (
+        with_shingles(df, text_col, n)
+        .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(id_col, F.xxhash64("g").alias("gh"))
+    )
+    gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
+    ranked = grams.join(gram_df, "gh").withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy(id_col).orderBy("dfreq", "gh")
+        ),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    num, den = F.lit(threshold_num), F.lit(threshold_den)
+    with_sz = ranked.join(sizes, id_col)
+    # integer ceil(t*sz) = (num*sz + den - 1) div den
+    prefix_len = F.col("sz") - ((num * F.col("sz") + den - 1) / den).cast("bigint") + 1
+    prefix = with_sz.filter(F.col("rnk") <= prefix_len).select(id_col, "gh", "sz")
+
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "gh", F.col("sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "gh", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # J >= t implies min/max >= t: integer length filter
+        .filter(
+            (F.col("sz_a") * num <= F.col("sz_b") * den)
+            & (F.col("sz_b") * num <= F.col("sz_a") * den)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), "gh")
+    gb = grams.select(F.col(id_col).alias("id_b"), "gh")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    thr = threshold_num / threshold_den
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= thr)
     )

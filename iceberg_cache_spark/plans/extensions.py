@@ -510,3 +510,34 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq")
     )
     return counts.orderBy(F.col("freq").desc(), F.col("tok")).limit(50)
+
+
+@declared(
+    "q74_ppjoin_jaccard",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       grams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id,
+                  array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+3 AS BIGINT)], ' ') AS g
+           FROM toks, UNNEST(range(greatest(len(t) - 2, 1))) AS u(i))),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         FROM grams a JOIN grams b USING (g)
+         WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+       SELECT id_a, id_b,
+              ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.5
+       ORDER BY id_a, id_b""",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT Jaccard ≥ 1/2 via PPJoin prefix filtering — the oracle is
+    the naive full inverted-index join over the complete gram space; the
+    Spark plan only ever joins on rarest-prefix grams."""
+    return D.ngram_jaccard_pairs_ppjoin(
+        T(spark, sf, "documents"), threshold_num=1, threshold_den=2
+    ).orderBy("id_a", "id_b")

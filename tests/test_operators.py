@@ -218,3 +218,15 @@ def test_ivf_topk_recall(spark):
     # every query finds itself, and probe recall is high on this corpus
     assert all((i, i) in ivf for i in range(10))
     assert len(ivf & brute) / len(brute) >= 0.6
+
+
+def test_ppjoin_equals_bruteforce(spark, docs):
+    pp = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs_ppjoin(docs, threshold_num=1, threshold_den=10).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=10**9).collect()
+    }
+    assert pp == brute and (1, 4) in pp
