@@ -128,6 +128,28 @@ class CachedQueryEngine:
         plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
         return str(plan.canonicalized().semanticHash())
 
+    # -- point lookups with bloom skip (C11 consulted for real) -------------
+
+    def attach_bloom(self, table_id: str, column: str, **bloom_kwargs) -> None:
+        """Build a bloom index over ``column`` of the cached table, used
+        by point_lookup to prove absence without running a Spark job."""
+        from iceberg_cache_spark.cache.bloom import EntryBloomIndex
+
+        self._blooms = getattr(self, "_blooms", {})
+        self._blooms[(table_id, column)] = EntryBloomIndex(
+            self.table(table_id), column, **bloom_kwargs
+        )
+
+    def point_lookup(self, table_id: str, column: str, value) -> DataFrame:
+        """Equality lookup. If a bloom index proves the value absent the
+        cached *empty* projection returns immediately — no scan, no job;
+        otherwise a normal filtered read of the cached table."""
+        bloom = getattr(self, "_blooms", {}).get((table_id, column))
+        df = self.table(table_id)
+        if bloom is not None and bloom.definitely_absent(value):
+            return df.limit(0)
+        return df.filter(df[column] == value)
+
     # -- lifecycle ----------------------------------------------------------
 
     def invalidate_table(self, table_id: str) -> int:

@@ -111,3 +111,18 @@ def test_cluster_conf_sizing():
     assert conf["spark.sql.adaptive.enabled"] == "true"
     small = cluster_conf(data_tb=0.1, executors=4, cores_per_executor=4)
     assert int(small["spark.sql.shuffle.partitions"]) >= 32
+
+
+def test_point_lookup_with_bloom_skip(spark, sf_dir, engine):
+    import os as _os
+
+    engine.register_parquet("customer", _os.path.join(sf_dir, "customer.parquet"))
+    engine.attach_bloom("customer", "c_custkey", num_bits=1 << 16)
+    present = engine.point_lookup("customer", "c_custkey", 1)
+    assert present.count() == 1
+    absent = engine.point_lookup("customer", "c_custkey", 10**12)
+    # bloom proved absence: optimizer folds limit(0) to an empty local
+    # relation — no parquet scan in the plan at all
+    plan = absent._jdf.queryExecution().executedPlan().toString()
+    assert absent.count() == 0 and "Scan parquet" not in plan
+    engine.cache.clear()

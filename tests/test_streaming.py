@@ -101,3 +101,29 @@ def test_stateful_user_stats(spark, events_dir):
     assert set(got) == set(want)
     for uid, (n, _) in want.items():
         assert got[uid][0] == n
+
+
+def test_stream_static_join(spark, sf_dir, events_dir):
+    """Stream-static enrichment: streaming events joined to a static
+    dimension — the built-in streaming join shape."""
+    static_users = (
+        spark.read.parquet(events_dir)
+        .select("user_id").distinct()
+        .withColumn("segment", F.concat(F.lit("seg_"), (F.col("user_id") % 3)))
+    )
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        stream.join(F.broadcast(static_users), "user_id")
+        .groupBy("segment").count()
+        .writeStream.format("memory").queryName("enriched")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.segment: r["count"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    want = {
+        r.segment: r["count"]
+        for r in spark.read.parquet(events_dir)
+        .join(static_users, "user_id").groupBy("segment").count().collect()
+    }
+    assert got == want and len(got) == 3
