@@ -71,6 +71,7 @@ class CacheManager:
         self.sweep_seconds = sweep_seconds
         self.storage_level = storage_level
         self._entries: dict[str, CacheEntry] = {}
+        self._loading: dict[str, threading.Lock] = {}
         self._lock = threading.RLock()
         self._hits = 0
         self._misses = 0
@@ -141,14 +142,23 @@ class CacheManager:
         materialize: bool = True,
     ) -> DataFrame:
         """Read-through path (the reference's ``get_table_data`` shape,
-        ref ``src/core/cache_node.py:127-162``): probe → load → admit."""
+        ref ``src/core/cache_node.py:127-162``): probe → load → admit.
+
+        Concurrent misses on the same key are serialized by a per-key
+        lock so the loader runs once (the reference had this race)."""
         cached = self.get(key)
         if cached is not None:
             return cached
-        df = self.put(key, loader())
-        if materialize:
-            df.count()  # force the persisted blocks to fill
-        return df
+        with self._lock:
+            lock = self._loading.setdefault(str(key), threading.Lock())
+        with lock:
+            cached = self.get(key)
+            if cached is not None:
+                return cached
+            df = self.put(key, loader())
+            if materialize:
+                df.count()  # force the persisted blocks to fill
+            return df
 
     def _evict_until_fits(self, incoming_bytes: int) -> None:
         used = sum(e.size_bytes for e in self._entries.values())

@@ -194,3 +194,28 @@ def test_memory_budget_accounting():
     assert b.allocate(400)
     u = b.get_memory_usage()
     assert u["used_bytes"] == 900 and u["available_bytes"] == 100
+
+
+def test_concurrent_get_or_load_loads_once(spark):
+    import threading as _threading
+
+    m = CacheManager(capacity_bytes=10**9)
+    calls = []
+    barrier = _threading.Barrier(4)
+
+    def loader():
+        calls.append(1)
+        time.sleep(0.05)
+        return spark.range(5)
+
+    def worker():
+        barrier.wait()
+        m.get_or_load("race-key", loader)
+
+    threads = [_threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1  # per-key lock: single load despite 4 racers
+    m.clear()
