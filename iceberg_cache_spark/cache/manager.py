@@ -92,15 +92,23 @@ class CacheManager:
 
     # -- core ops ----------------------------------------------------------
 
-    def get(self, key: CacheKey | str) -> DataFrame | None:
+    def _get_nocount(self, key: CacheKey | str) -> DataFrame | None:
+        """Probe without touching hit/miss counters (internal re-checks)."""
         with self._lock:
             entry = self._entries.get(str(key))
             if entry is None:
-                self._misses += 1
                 return None
             entry.touch()
-            self._hits += 1
             return entry.df
+
+    def get(self, key: CacheKey | str) -> DataFrame | None:
+        df = self._get_nocount(key)
+        with self._lock:
+            if df is None:
+                self._misses += 1
+            else:
+                self._hits += 1
+        return df
 
     def put(self, key: CacheKey | str, df: DataFrame, size_bytes: int | None = None) -> DataFrame:
         """Admit a DataFrame: evict-until-fits, persist, bookkeep."""
@@ -149,10 +157,19 @@ class CacheManager:
         cached = self.get(key)
         if cached is not None:
             return cached
+        return self.load_and_put(key, loader, materialize)
+
+    def load_and_put(
+        self,
+        key: CacheKey | str,
+        loader: Callable[[], DataFrame],
+        materialize: bool = True,
+    ) -> DataFrame:
+        """Load-under-lock half of get_or_load (probe already counted)."""
         with self._lock:
             lock = self._loading.setdefault(str(key), threading.Lock())
         with lock:
-            cached = self.get(key)
+            cached = self._get_nocount(key)
             if cached is not None:
                 return cached
             df = self.put(key, loader())

@@ -67,6 +67,7 @@ class CachedQueryEngine:
         partition_filter: dict | None = None,
         columns: list[str] | None = None,
         use_cache: bool = True,
+        materialize: bool = True,
     ) -> DataFrame:
         """Read-through cached table access (entry point C of the
         reference, ref ``src/core/cache_node.py:127-162``)."""
@@ -94,9 +95,7 @@ class CachedQueryEngine:
             superset = self.cache.find_subsuming(key)
             if superset is not None:
                 return superset.select(*columns)  # projection of cached blocks
-        df = self.cache.put(key, load())
-        df.count()  # materialize persisted blocks
-        return df
+        return self.cache.load_and_put(key, load, materialize=materialize)
 
     # -- SQL entry point ----------------------------------------------------
 
@@ -110,8 +109,11 @@ class CachedQueryEngine:
         Catalyst normalizes to the same plan — different whitespace,
         aliasing, predicate order — is served from cache without
         re-execution."""
+        # Lazy registration: persist() only marks storage — blocks fill
+        # when a query actually touches the view, so registering N tables
+        # to answer a query over one of them costs nothing extra.
         for table_id in self._loaders:
-            self.table(table_id).createOrReplaceTempView(table_id)
+            self.table(table_id, materialize=False).createOrReplaceTempView(table_id)
         df = self.spark.sql(query)
         if not cache_result:
             return df

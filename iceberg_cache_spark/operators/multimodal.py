@@ -85,12 +85,19 @@ def sample_frames(
     contract is the real thing: fan-out row multiplicity, binary output
     column, per-partition batching."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # self-contained closure: see extract_features note (by-value pickling)
+    def run(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
         for pdf in batches:
             ids, fids, blobs, hashes = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 if not fake:  # pragma: no cover
-                    decode_media(payload, "video/mp4")
+                    raise NotImplementedError(
+                        "media codecs unavailable; use fake=True"
+                    )
                 data = bytes(payload)
                 frames = [
                     data[i : i + frame_size]
@@ -100,13 +107,13 @@ def sample_frames(
                     ids.append(doc_id)
                     fids.append(fid)
                     blobs.append(frame)
-                    hashes.append(hashlib.md5(frame).hexdigest())
-            yield pd.DataFrame(
+                    hashes.append(_hashlib.md5(frame).hexdigest())
+            yield _pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_id": pd.Series(fids, dtype="int64"),
-                    "frame_bytes": pd.Series(blobs, dtype="object"),
-                    "frame_hash": pd.Series(hashes, dtype="object"),
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "frame_id": _pd.Series(fids, dtype="int64"),
+                    "frame_bytes": _pd.Series(blobs, dtype="object"),
+                    "frame_hash": _pd.Series(hashes, dtype="object"),
                 }
             )
 
@@ -122,19 +129,26 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -
     exercised and oracle-checkable without codecs.
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # NOTE: the closure must be fully self-contained (locals + stdlib
+    # imports inside) so cloudpickle ships it BY VALUE — a module-level
+    # function pickles by reference and breaks on workers whose
+    # PYTHONPATH doesn't include this repo.
+    def run(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
         for pdf in batches:
             if not fake:  # pragma: no cover
-                pdf["payload"].map(lambda b: decode_media(b, "application/octet-stream"))
-            out = pd.DataFrame(
+                raise NotImplementedError("media codecs unavailable; use fake=True")
+            yield _pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "nbytes": pdf["payload"].map(len).astype("int64"),
                     "feat_hash": pdf["payload"].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: _hashlib.md5(bytes(b)).hexdigest()
                     ),
                 }
             )
-            yield out
 
     return df.select(id_col, "payload").mapInPandas(run, FEATURE_SCHEMA)

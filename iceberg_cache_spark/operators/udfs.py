@@ -12,9 +12,6 @@ Both are deterministic and oracle-checkable.
 
 from __future__ import annotations
 
-import math
-from decimal import ROUND_HALF_UP, Decimal
-
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -22,8 +19,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from iceberg_cache_spark.operators.text import tokens
-
-_Q12 = Decimal("1e-12")
 
 
 def chunk_documents(
@@ -58,22 +53,34 @@ def chunk_documents(
     )
 
 
-@F.pandas_udf(DoubleType())
-def l2_norm(vectors: pd.Series) -> pd.Series:
+def make_l2_norm_udf():
     """Arrow-batched vector L2 norm, accumulated in DECIMAL(·,12) —
     the same exact arithmetic the engine-side operators use, so the
     result is bit-identical to the decimal-sum oracle regardless of
-    batch boundaries or partitioning."""
+    batch boundaries or partitioning.
 
-    def norm(v) -> float:
-        total = Decimal(0)
-        for x in v:
-            fx = float(x)
-            total += Decimal(fx * fx).quantize(_Q12, ROUND_HALF_UP)
-        return math.sqrt(float(total))
+    Built inside a factory with only local/stdlib references so the UDF
+    pickles BY VALUE — a module-level pandas_udf pickles by reference
+    and fails on workers that can't import this repo."""
 
-    return vectors.map(norm)
+    def _norms(vectors: pd.Series) -> pd.Series:
+        import math as _math
+        from decimal import ROUND_HALF_UP as _RHU
+        from decimal import Decimal as _D
+
+        q12 = _D("1e-12")
+
+        def norm(v) -> float:
+            total = _D(0)
+            for x in v:
+                fx = float(x)
+                total += _D(fx * fx).quantize(q12, _RHU)
+            return _math.sqrt(float(total))
+
+        return vectors.map(norm)
+
+    return F.pandas_udf(_norms, DoubleType())
 
 
 def with_l2_norm(df: DataFrame, vec_col: str = "embedding", out: str = "l2") -> DataFrame:
-    return df.withColumn(out, l2_norm(F.col(vec_col)))
+    return df.withColumn(out, make_l2_norm_udf()(F.col(vec_col)))

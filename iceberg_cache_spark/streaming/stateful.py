@@ -10,12 +10,8 @@ the default HDFS-backed one in production).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -34,34 +30,35 @@ USER_STATS_SCHEMA = StructType(
 _STATE_SCHEMA = "n BIGINT, total DOUBLE"
 
 
-def _update_user_stats(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        n, total = state.get
-    else:
-        n, total = 0, 0.0
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
-    )
-
-
 def stream_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running (count, sum(value)) maintained in keyed state.
 
     Use with ``outputMode("update")``; each micro-batch emits the new
-    running totals for users seen in that batch.
+    running totals for users seen in that batch. The state function is
+    defined locally so it pickles by value (workers need no repo import).
     """
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        (user_id,) = key
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_stats,
+            update,
             outputStructType=USER_STATS_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",

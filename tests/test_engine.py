@@ -126,3 +126,17 @@ def test_point_lookup_with_bloom_skip(spark, sf_dir, engine):
     plan = absent._jdf.queryExecution().executedPlan().toString()
     assert absent.count() == 0 and "Scan parquet" not in plan
     engine.cache.clear()
+
+
+def test_reference_golden_sql(spark, engine):
+    """The reference's one end-to-end SQL assertion, verbatim semantics:
+    a 2-column table registered as a view, `SELECT id, value FROM
+    test_table WHERE id > 1` returns exactly [(2,'b'), (3,'c')]
+    (ref src/tests/test_sql_query_engine.py:18-33)."""
+    engine.register_loader(
+        "test_table",
+        lambda: spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "value"]),
+    )
+    rows = engine.sql("SELECT id, value FROM test_table WHERE id > 1").collect()
+    assert sorted((r.id, r.value) for r in rows) == [(2, "b"), (3, "c")]
+    engine.cache.clear()
