@@ -1076,3 +1076,26 @@ def q79(spark: SparkSession, sf: str) -> DataFrame:
         li.l_extendedprice > o.o_totalprice * 0.5
     )
     return o.join(li, cond, "left_semi").select("o_orderkey").orderBy("o_orderkey")
+
+
+@declared(
+    "q38_struct_map",
+    """SELECT r_regionkey,
+              struct_pack(key := r_regionkey, name := r_name).name AS sname,
+              MAP([r_name], [r_regionkey])[r_name][1] AS mval
+       FROM region ORDER BY r_regionkey""",
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    """Struct construction + field access and map construction + key
+    lookup — nested types round-tripped back to scalars so the output
+    schema is engine-neutral."""
+    r = T(spark, sf, "region")
+    return r.select(
+        "r_regionkey",
+        F.struct(
+            F.col("r_regionkey").alias("key"), F.col("r_name").alias("name")
+        ).getField("name").alias("sname"),
+        F.element_at(
+            F.create_map(F.col("r_name"), F.col("r_regionkey")), F.col("r_name")
+        ).alias("mval"),
+    ).orderBy("r_regionkey")

@@ -90,3 +90,15 @@ def test_write_partitioned_prunes(spark, tmp_path):
     plan = back.filter("part = 2")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(part" in plan  # pruning at plan time
     assert back.filter("part = 2").count() == 25
+
+
+def test_corrupt_file_fails_fast(spark, tmp_path):
+    """The reference's loader silently dropped failed files
+    (ref src/storage/dataloader.py:108-127, timeout path) — SURVEY.md
+    flags that as a do-not-copy. Spark default (ignoreCorruptFiles=false)
+    fails fast, surfacing the error instead of returning partial data."""
+    d = tmp_path / "t"
+    spark.range(10).coalesce(1).write.parquet(str(d))
+    (d / "junk.parquet").write_bytes(b"definitely not parquet data")
+    with pytest.raises(Exception):
+        spark.read.parquet(str(d)).count()
