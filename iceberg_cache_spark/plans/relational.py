@@ -1099,3 +1099,42 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
             F.create_map(F.col("r_name"), F.col("r_regionkey")), F.col("r_name")
         ).alias("mval"),
     ).orderBy("r_regionkey")
+
+
+@declared(
+    "q19_tpch_q3",
+    """SELECT o.o_orderkey,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(25,6))), 2) AS DOUBLE) AS rev,
+              o.o_orderdate
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY o.o_orderkey, o.o_orderdate
+       ORDER BY rev DESC, o.o_orderkey LIMIT 10""",
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) skeleton: selective dim filter +
+    two-fact join + grouped revenue + top-10. The plan to expect at
+    scale: filters pushed to all three scans, customer broadcast,
+    partial aggregation before the final top-k."""
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    li = T(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_money(_dsum(rev)).alias("rev"))
+        .select("o_orderkey", "rev", "o_orderdate")
+        .orderBy(F.col("rev").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
