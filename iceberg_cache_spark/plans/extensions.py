@@ -541,3 +541,59 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
     return D.ngram_jaccard_pairs_ppjoin(
         T(spark, sf, "documents"), threshold_num=1, threshold_den=2
     ).orderBy("id_a", "id_b")
+
+
+@declared(
+    "q39_asof_join",
+    """SELECT e.event_id,
+              (SELECT MAX(o.o_orderkey) FROM orders o
+               WHERE o.o_custkey = e.user_id AND o.o_orderdate =
+                 (SELECT MAX(o2.o_orderdate) FROM orders o2
+                  WHERE o2.o_custkey = e.user_id
+                    AND o2.o_orderdate <= CAST(e.ts AS TIMESTAMP)))
+                AS o_orderkey
+       FROM events e ORDER BY e.event_id""",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at
+    or before the event time (max orderkey on order-date ties). The
+    oracle is the equivalent correlated lateral lookup."""
+    from iceberg_cache_spark.operators.asof import asof_join
+
+    e = T(spark, sf, "events")
+    o = T(spark, sf, "orders")
+    joined = asof_join(
+        e, o,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    return joined.select("event_id", "o_orderkey").orderBy("event_id")
+
+
+@declared(
+    "q86_range_join",
+    """SELECT e.event_id, o.o_orderkey FROM events e
+       JOIN orders o
+         ON e.user_id = o.o_custkey
+        AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+        AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate + INTERVAL 7 DAY
+       ORDER BY e.event_id, o.o_orderkey""",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join: events inside each order's 7-day window, via the
+    bin-bucketed rewrite (equi-join on (key, time-bin) + exact recheck)
+    instead of an inequality nested-loop."""
+    from iceberg_cache_spark.operators.rangejoin import point_in_interval_join
+
+    e = T(spark, sf, "events")
+    o = T(spark, sf, "orders").withColumn(
+        "o_end", F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")
+    )
+    joined = point_in_interval_join(
+        e, o,
+        point_key="user_id", interval_key="o_custkey",
+        point_time="ts", interval_start="o_orderdate", interval_end="o_end",
+        bin_seconds=7 * 24 * 3600,
+    )
+    return joined.select("event_id", "o_orderkey").orderBy("event_id", "o_orderkey")

@@ -230,3 +230,26 @@ def test_ppjoin_equals_bruteforce(spark, docs):
         for r in D.ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=10**9).collect()
     }
     assert pp == brute and (1, 4) in pp
+
+
+def test_asof_join_semantics(spark):
+    from iceberg_cache_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 9, "d")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 101), (2, 6, 200), (1, 10, 102)],
+        ["k", "t", "val"],
+    )
+    out = {
+        r.tag: r.val
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", value_cols=["val"]
+        ).collect()
+    }
+    assert out["a"] == 102  # inclusive at equal time; max val on ties
+    assert out["b"] == 101  # most recent (t=15), not just any earlier
+    assert out["c"] is None  # right row is later than left -> no match
+    assert out["d"] is None  # no rows for key 3
