@@ -597,3 +597,52 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
         bin_seconds=7 * 24 * 3600,
     )
     return joined.select("event_id", "o_orderkey").orderBy("event_id", "o_orderkey")
+
+
+@declared(
+    "q87_hypertable_rollup",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+       h AS (SELECT 'hour' AS grain,
+                    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                      AS win_start,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+                      AS total
+             FROM e GROUP BY win_start),
+       d AS (SELECT 'day' AS grain,
+                    make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+                      AS win_start,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+                      AS total
+             FROM e GROUP BY win_start)
+       SELECT * FROM h UNION ALL SELECT * FROM d
+       ORDER BY grain, win_start""",
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    return SW.hypertable_rollup(T(spark, sf, "events")).orderBy("grain", "win_start")
+
+
+@declared(
+    "q88_count_min_sketch",
+    """WITH cells AS (
+         SELECT s.seed,
+                ('0x' || substring(md5(s.seed::VARCHAR || ':' || l_partkey::VARCHAR),
+                                   1, 15))::BIGINT % 64 AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lineitem, (SELECT UNNEST([0, 1, 2]) AS seed) s
+         GROUP BY s.seed, bucket)
+       SELECT seed, CAST(bucket AS BIGINT) AS bucket, cnt FROM cells
+       ORDER BY seed, bucket""",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch build over l_partkey: d=3 seeds x w=64 buckets,
+    portable md5 bucket hash so the cells hash-match the oracle."""
+    from iceberg_cache_spark.operators.sketch import build_count_min
+
+    li = T(spark, sf, "lineitem")
+    return (
+        build_count_min(li, "l_partkey", depth=3, width=64)
+        .select("seed", F.col("bucket").cast("bigint").alias("bucket"), "cnt")
+        .orderBy("seed", "bucket")
+    )

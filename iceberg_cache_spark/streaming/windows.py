@@ -88,3 +88,36 @@ def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "30 minute
         .dropDuplicatesWithinWatermark(keys)
     )
     return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def hypertable_rollup(
+    events: DataFrame, granularities: dict[str, str] | None = None
+) -> DataFrame:
+    """Multi-granularity continuous-aggregate rollup (the hypertable
+    pattern): one stacked table of (grain, win_start, n, total) for
+    every configured bucket width. Each grain is an independent
+    partial-aggregated window agg; at 100 TB the coarser grains are
+    incrementally maintainable from the finest one (sums of sums) —
+    the finest grain is the only one that must scan raw events."""
+    granularities = granularities or {"hour": "1 hour", "day": "1 day"}
+    parts = []
+    for name, width in granularities.items():
+        parts.append(
+            events.groupBy(F.window("ts", width).alias("w"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.col("value").cast(DEC)), 2)
+                .cast("double")
+                .alias("total"),
+            )
+            .select(
+                F.lit(name).alias("grain"),
+                F.col("w.start").alias("win_start"),
+                "n",
+                "total",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -253,3 +253,18 @@ def test_asof_join_semantics(spark):
     assert out["b"] == 101  # most recent (t=15), not just any earlier
     assert out["c"] is None  # right row is later than left -> no match
     assert out["d"] is None  # no rows for key 3
+
+
+def test_count_min_sketch_estimates(spark):
+    from iceberg_cache_spark.operators.sketch import build_count_min, estimate_count
+
+    df = spark.createDataFrame(
+        [(v,) for v in [1] * 50 + [2] * 10 + [3] * 1], ["k"]
+    )
+    cells = [tuple(r) for r in build_count_min(df, "k", depth=3, width=32).collect()]
+    assert sum(c for _, _, c in cells) == 61 * 3  # every row counted per seed
+    for value, true_freq in [(1, 50), (2, 10), (3, 1)]:
+        est = estimate_count(cells, value, depth=3, width=32)
+        assert est >= true_freq  # CMS never underestimates
+        assert est <= true_freq + 11  # collisions bounded by other mass
+    assert estimate_count(cells, 999, depth=3, width=32) <= 61
