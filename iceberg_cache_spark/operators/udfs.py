@@ -84,3 +84,87 @@ def make_l2_norm_udf():
 
 def with_l2_norm(df: DataFrame, vec_col: str = "embedding", out: str = "l2") -> DataFrame:
     return df.withColumn(out, make_l2_norm_udf()(F.col(vec_col)))
+
+
+def grouped_zscore(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group z-score via applyInPandas (grouped-map): each group's
+    batch arrives as one pandas frame. Mean/std derive from exact
+    Decimal sums (same arithmetic as the SQL oracle), so outputs are
+    bit-reproducible. Closure is self-contained (by-value pickling)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(group_col, StringType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+
+    def compute(pdf):
+        import pandas as _pd
+        from decimal import ROUND_HALF_UP as _RHU
+        from decimal import Decimal as _D
+
+        q6 = _D("1e-6")
+        xs = [float(v) for v in pdf[value_col]]
+        n = len(xs)
+        s1 = sum((_D(x).quantize(q6, _RHU) for x in xs), _D(0))
+        s2 = sum((_D(x * x).quantize(q6, _RHU) for x in xs), _D(0))
+        mean = float(s1) / n
+        var = (float(s2) - float(s1) * float(s1) / n) / (n - 1) if n > 1 else 0.0
+        sd = var**0.5
+        zs = [round((x - mean) / sd, 4) if sd > 0 else 0.0 for x in xs]
+        return _pd.DataFrame(
+            {id_col: pdf[id_col], group_col: pdf[group_col], "z": zs}
+        )
+
+    return df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
+        compute, schema
+    )
+
+
+def make_sentence_udtf():
+    """Python UDTF (Spark ≥3.5): one input text row → one row per
+    sentence. Class defined in a factory so it pickles by value."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("sent_id", IntegerType()),
+            StructField("sentence", StringType()),
+        ]
+    )
+
+    class SentenceSplitter:
+        def eval(self, text: str):
+            import re as _re
+
+            if text is None:
+                return
+            pieces = _re.split(r"[.!?]", text)
+            i = 0
+            for p in pieces:
+                p = p.strip()
+                if p:
+                    yield i, p
+                    i += 1
+
+    return udtf(SentenceSplitter, returnType=schema)

@@ -646,3 +646,48 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
         .select("seed", F.col("bucket").cast("bigint").alias("bucket"), "cnt")
         .orderBy("seed", "bucket")
     )
+
+
+@declared(
+    "q89_grouped_zscore",
+    """WITH g AS (SELECT source, COUNT(*) AS n,
+                  CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(25,6))) AS DOUBLE) AS s2
+           FROM documents GROUP BY source)
+       SELECT d.doc_id, d.source,
+              CASE WHEN g.n > 1 AND (g.s2 - g.s1*g.s1/g.n)/(g.n-1) > 0
+                   THEN ROUND((d.n_chars - g.s1/g.n)
+                              / SQRT((g.s2 - g.s1*g.s1/g.n)/(g.n-1)), 4)
+                   ELSE 0.0 END AS z
+       FROM documents d JOIN g USING (source)
+       ORDER BY d.doc_id""",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return (
+        U.grouped_zscore(d, "source", "n_chars", "doc_id")
+        .select("doc_id", "source", "z")
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q95_sentence_udtf",
+    """SELECT doc_id, CAST(i AS INT) AS sent_id, sents[i+1] AS sentence
+       FROM (
+         SELECT doc_id,
+                list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                                           x -> trim(x)), x -> x <> '') AS sents
+         FROM documents) t,
+         UNNEST(range(len(t.sents))) AS u(i)
+       ORDER BY doc_id, sent_id""",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """Document → sentences via a real Python UDTF (lateral join)."""
+    udtf_cls = U.make_sentence_udtf()
+    d = T(spark, sf, "documents")
+    return (
+        d.lateralJoin(udtf_cls(F.col("text").outer()))
+        .select("doc_id", "sent_id", "sentence")
+        .orderBy("doc_id", "sent_id")
+    )
