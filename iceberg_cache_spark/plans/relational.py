@@ -1,4 +1,5 @@
-"""Relational operator corpus (SURVEY.md §2.2, Q01–Q58).
+"""Relational operator corpus (SURVEY.md §2.2: Q01–Q59 families, plus
+grouping sets / percentiles / window frames / pivot / set-op variants).
 
 Each query exists twice: a Spark-first DataFrame plan (what this engine
 runs — Catalyst picks the physical strategy) and a DuckDB oracle SQL
