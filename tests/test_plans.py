@@ -40,3 +40,29 @@ def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = physical(spark, sf_dir, "q13_semi_join")
     assert "LeftSemi" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Co-bucketed tables join without an Exchange (the bucketing scale
+    path from SURVEY/README); the unbucketed same join shuffles both
+    sides."""
+    import os as _os
+
+    from iceberg_cache_spark.sources.catalog import write_bucketed_table
+    from iceberg_cache_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed_table(orders, "orders_b", "o_custkey", 8, "o_custkey")
+    write_bucketed_table(customer, "cust_b", "c_custkey", 8, "c_custkey")
+    try:
+        bo, bc = spark.table("orders_b"), spark.table("cust_b")
+        joined = bo.join(
+            bc.hint("merge"), bo.o_custkey == bc.c_custkey
+        ).select("o_orderkey", "c_name")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert joined.count() == orders.count()  # and it's still correct
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
