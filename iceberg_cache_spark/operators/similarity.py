@@ -327,3 +327,44 @@ def ivf_cosine_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage-side embedding transforms
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max |x|, code =
+    round_half_up(x / scale * 127). 4x storage reduction for ANN
+    shortlists; codes + scale reconstruct within 1/254 relative error.
+    FLOOR(v + 0.5) keeps rounding portable (engines' round/cast-to-int
+    conventions differ)."""
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    df = df.withColumn("q_scale", F.when(absmax > 0, absmax).otherwise(F.lit(1.0)))
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") / F.col("q_scale") * 127 + 0.5).cast("int"),
+    )
+    return df.withColumn("q_codes", codes)
+
+
+def random_projection(
+    df: DataFrame, vec_col: str, dim: int, out_dim: int = 8, seed: int = 42
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style dense random projection to
+    ``out_dim`` dims using the deterministic seeded hyperplanes (plan
+    literals, exact-decimal dots) — the cheap pre-step before clustering
+    or coarse ANN over very wide embeddings."""
+    planes = _hyperplanes(dim, out_dim, seed)
+    cols = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        cols.append(
+            (F.round(_exact_dot(F.col(vec_col), lit_plane), 6) + 0.0).alias(f"p{i}")
+        )
+    return df.select("*", *cols)

@@ -691,3 +691,32 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "sent_id", "sentence")
         .orderBy("doc_id", "sent_id")
     )
+
+
+@declared(
+    "q96_embedding_quantize",
+    """WITH s AS (
+         SELECT vec_id, embedding,
+                list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) AS am
+         FROM embeddings),
+       q AS (SELECT vec_id,
+                    CASE WHEN am > 0 THEN am ELSE 1.0 END AS q_scale,
+                    embedding FROM s)
+       SELECT vec_id, ROUND(q_scale, 6) AS q_scale_r,
+              list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) / q_scale * 127 + 0.5) AS INT))
+                AS q_codes
+       FROM q ORDER BY vec_id""",
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    return (
+        S.quantize_int8(e)
+        .select(
+            "vec_id",
+            F.round("q_scale", 6).alias("q_scale_r"),
+            "q_codes",
+        )
+        .orderBy("vec_id")
+    )

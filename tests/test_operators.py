@@ -268,3 +268,19 @@ def test_count_min_sketch_estimates(spark):
         assert est >= true_freq  # CMS never underestimates
         assert est <= true_freq + 11  # collisions bounded by other mass
     assert estimate_count(cells, 999, depth=3, width=32) <= 61
+
+
+def test_quantize_int8_reconstruction(spark, vectors):
+    out = S.quantize_int8(vectors).collect()
+    for r in out:
+        assert max(abs(c) for c in r.q_codes) == 127  # scale pins the max
+        for orig, code in zip(r.embedding, r.q_codes):
+            assert abs(float(orig) - code * r.q_scale / 127) <= r.q_scale / 127
+
+
+def test_random_projection_shape_and_determinism(spark, vectors):
+    p1 = S.random_projection(vectors, "embedding", dim=4, out_dim=3).collect()
+    p2 = S.random_projection(vectors.repartition(3), "embedding", dim=4, out_dim=3).collect()
+    a = {r.vec_id: (r.p0, r.p1, r.p2) for r in p1}
+    b = {r.vec_id: (r.p0, r.p1, r.p2) for r in p2}
+    assert a == b and len(a) == 4
