@@ -720,3 +720,121 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _rp_oracle() -> str:
+    """Generate the q97 oracle with the same literal hyperplanes the
+    Spark operator uses (seeded, deterministic)."""
+    from iceberg_cache_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 3, seed=42)
+    cols = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(x) for x in plane)
+        cols.append(
+            f"ROUND(CAST(list_sum(list_transform(range(len(embedding)), "
+            f"j -> CAST(CAST(embedding[j+1] AS DOUBLE) * ([{lits}])[j+1] "
+            f"AS DECIMAL(28,12)))) AS DOUBLE), 6) + 0.0 AS p{i}"
+        )
+    return (
+        "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings ORDER BY vec_id"
+    )
+
+
+@declared("q97_random_projection", _rp_oracle())
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    return (
+        S.random_projection(e, "embedding", dim=64, out_dim=3, seed=42)
+        .select("vec_id", "p0", "p1", "p2")
+        .orderBy("vec_id")
+    )
+
+
+@declared(
+    "q98_corr_covar",
+    """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+       FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              ROUND((sxy - sx*sy/n) / (n - 1), 4) AS covar_s,
+              ROUND((sxy - sx*sy/n)
+                    / SQRT((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS corr_r
+       FROM g ORDER BY l_returnflag""",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample covariance + Pearson correlation recomputed from exact
+    decimal sums (native covar_samp/corr are summation-order dependent,
+    same treatment as q26's stddev)."""
+    li = T(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(25,6)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(30,6)"))
+        .cast("double").alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,6)"))
+        .cast("double").alias("sxy"),
+    )
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    return g.select(
+        "l_returnflag",
+        F.round(num / (F.col("n") - 1), 4).alias("covar_s"),
+        F.round(
+            num
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            ),
+            6,
+        ).alias("corr_r"),
+    ).orderBy("l_returnflag")
+
+
+@declared(
+    "q99_bit_aggs",
+    """SELECT l_orderkey,
+              CAST(bit_or(l_linenumber) AS BIGINT) AS lines_or,
+              CAST(bit_and(l_linenumber) AS BIGINT) AS lines_and,
+              CAST(bit_xor(l_linenumber) AS BIGINT) AS lines_xor
+       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.bit_or("l_linenumber").cast("bigint").alias("lines_or"),
+            F.bit_and("l_linenumber").cast("bigint").alias("lines_and"),
+            F.bit_xor("l_linenumber").cast("bigint").alias("lines_xor"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@declared(
+    "q100_string_agg",
+    """SELECT l_returnflag,
+              string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+                AS statuses
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation: collect_set is unordered, so sort the
+    array before joining — deterministic under any partitioning."""
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("l_linestatus")), ","
+            ).alias("statuses")
+        )
+        .orderBy("l_returnflag")
+    )
