@@ -52,6 +52,17 @@ class CachedQueryEngine:
         self._catalogs[table_id] = catalog
         self.register_loader(table_id, lambda: catalog.read_table(table_id))
 
+    def watch_catalog(self, catalog, table_id: str) -> None:
+        """Event-driven invalidation: a catalog commit immediately drops
+        this table's cache entries (in addition to the snapshot-keyed
+        miss), releasing executor memory the moment data is stale."""
+        from iceberg_cache_spark.sources.catalog import add_commit_listener
+
+        add_commit_listener(
+            catalog,
+            lambda tid: self.invalidate_table(tid) if tid == table_id else None,
+        )
+
     def _snapshot_of(self, table_id: str) -> str | None:
         catalog = getattr(self, "_catalogs", {}).get(table_id)
         if catalog is None:

@@ -113,6 +113,7 @@ class SnapshotParquetCatalog:
             }
         )
         self._write_log(table_id, log)
+        _notify_commit_listeners(self, table_id)
         return self.get_snapshot(table_id, snap_id)
 
     # -- snapshot lookup (C15, C16) ---------------------------------------
@@ -312,3 +313,20 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def _notify_commit_listeners(catalog: "SnapshotParquetCatalog", table_id: str) -> None:
+    for cb in getattr(catalog, "_commit_listeners", []):
+        try:
+            cb(table_id)
+        except Exception:
+            pass
+
+
+def add_commit_listener(catalog: "SnapshotParquetCatalog", callback) -> None:
+    """Subscribe to table commits (the reference's event-driven cache
+    invalidation idea, ref docs design.md:135-140 — aspirational there,
+    wired for real here via CachedQueryEngine.watch_catalog)."""
+    if not hasattr(catalog, "_commit_listeners"):
+        catalog._commit_listeners = []
+    catalog._commit_listeners.append(callback)

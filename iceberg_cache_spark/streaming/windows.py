@@ -121,3 +121,20 @@ def hypertable_rollup(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def stream_to_snapshots(stream: DataFrame, catalog, table_id: str):
+    """Streaming ingestion into the versioned lake table (the
+    reference's design-doc aspiration, 'Streaming Ingestion', ref
+    docs/arrow_iceberg_cache_design.md:99 — never implemented there):
+    each micro-batch commits an append snapshot, so history/time-travel
+    work over live data and cache keys roll forward automatically.
+
+    Returns the StreamingQuery; caller controls the trigger."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog.write_snapshot(table_id, batch_df, mode="append")
+
+    return stream.writeStream.foreachBatch(commit)

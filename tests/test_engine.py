@@ -140,3 +140,16 @@ def test_reference_golden_sql(spark, engine):
     rows = engine.sql("SELECT id, value FROM test_table WHERE id > 1").collect()
     assert sorted((r.id, r.value) for r in rows) == [(2, "b"), (3, "c")]
     engine.cache.clear()
+
+
+def test_event_driven_invalidation(spark, tmp_path, engine):
+    catalog = SnapshotParquetCatalog(spark, str(tmp_path / "wh2"))
+    catalog.write_snapshot("t2", spark.range(0, 5))
+    engine.register_catalog_table(catalog, "t2")
+    engine.watch_catalog(catalog, "t2")
+    engine.table("t2").count()
+    assert len(engine.cache.keys()) == 1
+    catalog.write_snapshot("t2", spark.range(0, 9))  # commit fires listener
+    assert engine.cache.keys() == []  # entries dropped eagerly
+    assert engine.table("t2").count() == 9
+    engine.cache.clear()

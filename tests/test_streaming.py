@@ -127,3 +127,29 @@ def test_stream_static_join(spark, sf_dir, events_dir):
         .join(static_users, "user_id").groupBy("segment").count().collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_stream_to_snapshots_ingestion(spark, events_dir, tmp_path):
+    """Streaming ingestion -> versioned snapshots: history grows per
+    micro-batch, totals match, time travel sees earlier state."""
+    from iceberg_cache_spark.sources.catalog import SnapshotParquetCatalog
+    from iceberg_cache_spark.streaming.windows import stream_to_snapshots
+
+    catalog = SnapshotParquetCatalog(spark, str(tmp_path / "wh"))
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(events_dir)
+    q = stream_to_snapshots(stream, catalog, "events_live").trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.awaitTermination(180)
+
+    history = catalog.snapshot_history("events_live")
+    assert len(history) >= 2  # multiple micro-batch commits
+    total = spark.read.parquet(events_dir).count()
+    assert catalog.read_table("events_live").count() == total
+    first = history[-1]
+    assert catalog.read_table(
+        "events_live", snapshot_id=first.snapshot_id
+    ).count() < total
