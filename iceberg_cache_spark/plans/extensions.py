@@ -838,3 +838,54 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "q101_conditional_aggs",
+    """SELECT l_returnflag,
+              CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+              bool_and(l_quantity > 0) AS all_pos,
+              bool_or(l_discount > 0.09) AS any_deep,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                   FILTER (WHERE l_returnflag = 'R'), 2) AS DOUBLE) AS r_total
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R",
+                        F.col("l_extendedprice").cast("decimal(25,6)"),
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("r_total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "q102_date_format",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
+              strftime(o_orderdate, '%Y/%m/%d') AS ymd
+       FROM orders ORDER BY o_orderkey""",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """Date formatting — format-string dialects differ (JVM pattern vs
+    strftime) but the rendered values must agree."""
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.date_format("o_orderdate", "yyyy/MM/dd").alias("ymd"),
+    ).orderBy("o_orderkey")
