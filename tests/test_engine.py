@@ -153,3 +153,15 @@ def test_event_driven_invalidation(spark, tmp_path, engine):
     assert engine.cache.keys() == []  # entries dropped eagerly
     assert engine.table("t2").count() == 9
     engine.cache.clear()
+
+
+def test_sql_unknown_table_clean_error(spark, engine):
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        engine.sql("SELECT * FROM definitely_not_a_table").collect()
+
+
+def test_table_without_loader_raises_keyerror(engine):
+    with pytest.raises(KeyError):
+        engine.table("unregistered")

@@ -67,3 +67,22 @@ def test_list_flights(server):
     client = flight.connect(location)
     names = sorted(f.descriptor.path[0].decode() for f in client.list_flights())
     assert names == ["nation", "region"]
+
+
+def test_flight_bad_ticket_surfaces_error(server):
+    import pyarrow.flight as flight
+
+    location, _ = server
+    client = flight.connect(location)
+    # server-side KeyError crosses gRPC with its message intact
+    with pytest.raises(Exception, match="no loader registered"):
+        client.do_get(flight.Ticket(b"no_such_table")).read_all()
+
+
+def test_flight_bad_sql_surfaces_error(server):
+    import pyarrow.flight as flight
+
+    location, _ = server
+    client = flight.connect(location)
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        client.do_get(flight.Ticket(b"sql:SELECT * FROM nope")).read_all()
