@@ -1139,3 +1139,66 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rev").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+@declared(
+    "q103_more_strings",
+    """SELECT p_partkey,
+              ascii(p_brand) AS ab,
+              left(p_name, 4) AS l4,
+              right(p_type, 3) AS r3,
+              translate(p_brand, 'Brand#', 'BRAND_') AS tr,
+              CAST(strpos(p_type, 'a') AS BIGINT) AS pa
+       FROM part ORDER BY p_partkey""",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.ascii("p_brand").alias("ab"),
+        F.expr("left(p_name, 4)").alias("l4"),
+        F.expr("right(p_type, 3)").alias("r3"),
+        F.translate("p_brand", "Brand#", "BRAND_").alias("tr"),
+        F.instr("p_type", "a").cast("bigint").alias("pa"),
+    ).orderBy("p_partkey")
+
+
+@declared(
+    "q104_null_safe_eq",
+    """SELECT c_custkey,
+              NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM
+              NULLIF(c_mktsegment, 'AUTOMOBILE') AS same_seg,
+              NULLIF(c_mktsegment, 'BUILDING') IS NULL AS is_b
+       FROM customer ORDER BY c_custkey""",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    a = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    b = F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE"))
+    return c.select(
+        "c_custkey",
+        a.eqNullSafe(b).alias("same_seg"),
+        a.isNull().alias("is_b"),
+    ).orderBy("c_custkey")
+
+
+@declared(
+    "q105_rank_fns",
+    """SELECT c_custkey,
+              ROUND(percent_rank() OVER w, 6) AS pr,
+              ROUND(cume_dist() OVER w, 6) AS cd
+       FROM customer
+       WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+       ORDER BY c_custkey""",
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        T(spark, sf, "customer")
+        .select(
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )
