@@ -889,3 +889,29 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         F.date_format("o_orderdate", "yyyy/MM/dd").alias("ymd"),
     ).orderBy("o_orderkey")
+
+
+@declared(
+    "q106_keep_latest",
+    """SELECT event_id, user_id, event_type FROM (
+         SELECT event_id, user_id, event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) t
+       WHERE rn = 1 ORDER BY event_id""",
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-latest dedup: newest record per (user, event_type) — the
+    CDC/compaction staple, window + filter (one shuffle by key)."""
+    from pyspark.sql import Window as W
+
+    e = T(spark, sf, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
