@@ -80,6 +80,16 @@ def stream_session_agg(
     return out.withColumn("sess_start", F.col("sess_start").cast("timestamp_ntz"))
 
 
+def stream_sliding_agg(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    out = sliding_agg(_with_event_time(events).withWatermark("ts", watermark), width, slide)
+    return out.withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
+
+
 def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup with bounded state."""
     deduped = (

@@ -153,3 +153,17 @@ def test_stream_to_snapshots_ingestion(spark, events_dir, tmp_path):
     assert catalog.read_table(
         "events_live", snapshot_id=first.snapshot_id
     ).count() < total
+
+
+def test_streaming_sliding_matches_batch(spark, events_dir):
+    from iceberg_cache_spark.streaming.windows import stream_sliding_agg
+
+    batch = SW.sliding_agg(spark.read.parquet(events_dir))
+    streamed = _run_stream(
+        spark, events_dir,
+        lambda s: stream_sliding_agg(s, watermark="1 hour"),
+        "sliding_mem",
+    )
+    b = {(r.win_start, r.n, r.total) for r in batch.collect()}
+    s = {(r.win_start, r.n, r.total) for r in streamed.collect()}
+    assert b == s and len(b) > 0
