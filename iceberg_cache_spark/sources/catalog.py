@@ -330,3 +330,54 @@ def add_commit_listener(catalog: "SnapshotParquetCatalog", callback) -> None:
     if not hasattr(catalog, "_commit_listeners"):
         catalog._commit_listeners = []
     catalog._commit_listeners.append(callback)
+
+
+def delete_where(
+    catalog: "SnapshotParquetCatalog", table_id: str, condition_sql: str
+) -> "SnapshotInfo":
+    """Row-level delete as a new snapshot (Iceberg copy-on-write DELETE
+    semantics): rows matching ``condition_sql`` are absent from the new
+    snapshot; history still time-travels to the pre-delete state. The
+    right-to-be-forgotten primitive for a training-data lake — with the
+    caveat that true erasure also requires expiring old snapshots."""
+    current = catalog.read_table(table_id)
+    remaining = current.filter(f"NOT ({condition_sql})")
+    return catalog.write_snapshot(table_id, remaining, mode="overwrite")
+
+
+def expire_snapshots(
+    catalog: "SnapshotParquetCatalog", table_id: str, keep_last: int = 1
+) -> int:
+    """Drop all but the newest ``keep_last`` snapshots and delete data
+    files no surviving snapshot references — the erasure half of
+    delete_where, and the storage-reclaim half of compaction."""
+    import os as _os
+
+    log = catalog._read_log(table_id)
+    if len(log) <= keep_last:
+        return 0
+    keep, drop = log[-keep_last:], log[:-keep_last]
+    kept_files = {f for s in keep for f in s["files"]}
+    removed = 0
+    for snap in drop:
+        for f in snap["files"]:
+            if f not in kept_files and _os.path.exists(f):
+                _os.remove(f)
+                removed += 1
+    catalog._write_log(table_id, keep)
+    _notify_commit_listeners(catalog, table_id)
+    return removed
+
+
+def compact(
+    catalog: "SnapshotParquetCatalog", table_id: str, target_files: int = 1
+) -> "SnapshotInfo":
+    """Small-file compaction: rewrite the current snapshot's content
+    into ``target_files`` files as a new snapshot (old snapshots keep
+    referencing the original files until expired). The streaming-
+    ingestion companion — per-micro-batch commits accumulate small
+    files; periodic compaction restores scan efficiency."""
+    current = catalog.read_table(table_id)
+    return catalog.write_snapshot(
+        table_id, current.coalesce(target_files), mode="overwrite"
+    )

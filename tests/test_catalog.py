@@ -102,3 +102,34 @@ def test_corrupt_file_fails_fast(spark, tmp_path):
     (d / "junk.parquet").write_bytes(b"definitely not parquet data")
     with pytest.raises(Exception):
         spark.read.parquet(str(d)).count()
+
+
+def test_delete_where_and_time_travel(spark, catalog):
+    from iceberg_cache_spark.sources.catalog import delete_where
+
+    s1 = catalog.write_snapshot("d", spark.range(0, 100))
+    delete_where(catalog, "d", "id >= 90")
+    assert catalog.read_table("d").count() == 90
+    assert catalog.read_table("d").filter("id >= 90").count() == 0
+    # pre-delete state still reachable
+    assert catalog.read_table("d", snapshot_id=s1.snapshot_id).count() == 100
+
+
+def test_compact_and_expire(spark, catalog):
+    from iceberg_cache_spark.sources.catalog import compact, expire_snapshots
+
+    catalog.write_snapshot("c", spark.range(0, 50).repartition(6))
+    for start in (50, 60, 70):
+        catalog.write_snapshot(
+            "c", spark.range(start, start + 10).repartition(2), mode="append"
+        )
+    before_files = len(catalog.get_data_files("c"))
+    assert before_files >= 8  # small-file accumulation from appends
+    compact(catalog, "c", target_files=1)
+    assert len(catalog.get_data_files("c")) == 1
+    assert catalog.read_table("c").count() == 80
+    # expire everything but the compacted snapshot; orphan files deleted
+    removed = expire_snapshots(catalog, "c", keep_last=1)
+    assert removed >= before_files - 1
+    assert len(catalog.snapshot_history("c")) == 1
+    assert catalog.read_table("c").count() == 80
