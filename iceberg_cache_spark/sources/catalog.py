@@ -218,11 +218,16 @@ class SnapshotParquetCatalog:
         files = self.get_data_files(
             table_id, partition_filter, snapshot_id, as_of_timestamp_ms
         )
+        # mergeSchema: appended snapshots may add columns (schema
+        # evolution — the reference's design-doc aspiration, ref
+        # docs/arrow_iceberg_cache_design.md:126-133, never implemented
+        # there); older files surface the new columns as nulls.
+        reader = self.spark.read.option("mergeSchema", "true")
         if not files:
             snap = self.get_snapshot(table_id, snapshot_id, as_of_timestamp_ms)
-            df = self.spark.read.parquet(*snap.files).limit(0)
+            df = reader.parquet(*snap.files).limit(0)
         else:
-            df = self.spark.read.parquet(*[f.file_path for f in files])
+            df = reader.parquet(*[f.file_path for f in files])
         for col_name, value in (partition_filter or {}).items():
             df = df.filter(df[col_name] == value)
         if columns:
@@ -381,3 +386,20 @@ def compact(
     return catalog.write_snapshot(
         table_id, current.coalesce(target_files), mode="overwrite"
     )
+
+
+def upsert(
+    catalog: "SnapshotParquetCatalog",
+    table_id: str,
+    updates: DataFrame,
+    key_col: str,
+) -> "SnapshotInfo":
+    """MERGE-style upsert as a new snapshot: rows whose key appears in
+    ``updates`` are replaced, new keys are inserted (copy-on-write —
+    the Iceberg MERGE INTO shape). Anti-join keeps untouched rows; at
+    scale the anti-join shuffles on the key like any MERGE."""
+    current = catalog.read_table(table_id)
+    keys = updates.select(key_col).distinct()
+    untouched = current.join(keys, key_col, "left_anti")
+    merged = untouched.unionByName(updates.select(*current.columns))
+    return catalog.write_snapshot(table_id, merged, mode="overwrite")

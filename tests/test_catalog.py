@@ -133,3 +133,35 @@ def test_compact_and_expire(spark, catalog):
     assert removed >= before_files - 1
     assert len(catalog.snapshot_history("c")) == 1
     assert catalog.read_table("c").count() == 80
+
+
+def test_upsert_merge_semantics(spark, catalog):
+    from iceberg_cache_spark.sources.catalog import upsert
+
+    catalog.write_snapshot(
+        "u", spark.range(0, 10).selectExpr("id", "id * 10 AS v")
+    )
+    updates = spark.createDataFrame([(3, 999), (42, 4200)], ["id", "v"])
+    s1 = catalog.snapshot_history("u")[-1]
+    upsert(catalog, "u", updates, "id")
+    rows = {r.id: r.v for r in catalog.read_table("u").collect()}
+    assert rows[3] == 999      # updated
+    assert rows[42] == 4200    # inserted
+    assert rows[5] == 50       # untouched
+    assert len(rows) == 11
+    # pre-merge state time-travelable
+    assert catalog.read_table("u", snapshot_id=s1.snapshot_id).count() == 10
+
+
+def test_schema_evolution_on_append(spark, catalog):
+    catalog.write_snapshot("ev", spark.range(0, 5).selectExpr("id"))
+    catalog.write_snapshot(
+        "ev",
+        spark.range(5, 8).selectExpr("id", "id * 2 AS extra"),
+        mode="append",
+    )
+    df = catalog.read_table("ev")
+    assert set(df.columns) == {"id", "extra"}
+    rows = {r.id: r.extra for r in df.collect()}
+    assert rows[6] == 12 and rows[1] is None  # old rows: nulls for new col
+    assert df.count() == 8
