@@ -70,3 +70,49 @@ def test_random_filters_match_duckdb(spark, sf_dir, duck, clause):
         ).fetchall()
     )
     assert got == want, f"filter mismatch for: {clause}"
+
+
+JOIN_TYPES = ("inner", "left", "left_semi", "left_anti")
+
+
+@st.composite
+def join_case(draw):
+    jt = draw(st.sampled_from(JOIN_TYPES))
+    bal = round(draw(st.floats(-999.0, 9999.0, allow_nan=False)), 2)
+    return jt, bal
+
+
+@pytest.fixture(scope="module")
+def duck_join(sf_dir):
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=join_case())
+def test_random_joins_match_duckdb(spark, sf_dir, duck_join, case):
+    from iceberg_cache_spark.sources.testdata import load_table
+
+    jt, bal = case
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(f"c_acctbal > {bal}")
+    got = o.join(c, o.o_custkey == c.c_custkey, jt).count()
+    sub = f"SELECT c_custkey FROM customer WHERE c_acctbal > {bal}"
+    if jt == "inner":
+        sql = f"SELECT COUNT(*) FROM orders o JOIN ({sub}) c ON o.o_custkey = c.c_custkey"
+    elif jt == "left":
+        sql = f"SELECT COUNT(*) FROM orders o LEFT JOIN ({sub}) c ON o.o_custkey = c.c_custkey"
+    elif jt == "left_semi":
+        sql = f"SELECT COUNT(*) FROM orders o WHERE o.o_custkey IN ({sub})"
+    else:
+        sql = f"SELECT COUNT(*) FROM orders o WHERE o.o_custkey NOT IN ({sub})"
+    want = duck_join.execute(sql).fetchone()[0]
+    assert got == want, f"{jt} join mismatch at bal>{bal}: spark={got} duckdb={want}"
