@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -36,11 +37,16 @@ def main() -> None:
     # Warm the JVM/codegen once on a trivial plan so q01 doesn't pay startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
     times: dict[str, float] = {}
     for name in sorted(QUERIES):
-        t0 = time.perf_counter()
-        run_query(QUERIES[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            run_query(QUERIES[name](spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     # cache-hit vs cold (BASELINE.md protocol): the flagship aggregation
     # through the cached engine, second run served from persisted blocks.
@@ -62,25 +68,33 @@ def main() -> None:
     hit = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "cache": {"cold_sec": cold, "hit_sec": hit},
-                "sf": sf,
-                "config": {
-                    "master": spark.sparkContext.master,
-                    "shuffle_partitions": spark.conf.get(
-                        "spark.sql.shuffle.partitions"
-                    ),
-                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-                },
-            }
-        )
-    )
+    payload = {
+        "metric": "declared_query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "cache": {"cold_sec": cold, "hit_sec": hit},
+        "sf": sf,
+        "runs": runs,
+        "config": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }
+    # Full payload goes to a file; stdout gets ONE compact line (short
+    # "qNN" keys, 2-decimal times, no whitespace) so the driver's stdout
+    # capture can never truncate the JSON (round-1 BENCH was parsed:null).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    short = {
+        re.match(r"(q\d+)", k).group(1) if re.match(r"(q\d+)", k) else k: round(v, 2)
+        for k, v in times.items()
+    }
+    compact = dict(payload)
+    compact["queries"] = short
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

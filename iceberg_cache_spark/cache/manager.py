@@ -114,6 +114,10 @@ class CacheManager:
         """Admit a DataFrame: evict-until-fits, persist, bookkeep."""
         size = size_bytes if size_bytes is not None else self.estimate_size(df)
         with self._lock:
+            # Replacing an existing entry: unpersist the old DataFrame's
+            # blocks first, and stop double-counting its bytes in the
+            # evict-until-fits accounting below.
+            self._drop(str(key))
             self._evict_until_fits(size)
             df = df.persist(self.storage_level)
             self._entries[str(key)] = CacheEntry(
@@ -192,6 +196,15 @@ class CacheManager:
                 entry.df.unpersist()
             except Exception:
                 pass
+
+    def drop_prefix(self, prefix: str) -> int:
+        """Drop every entry whose string key starts with ``prefix``
+        (e.g. ``__plan#`` — the engine's cached-SQL-result namespace)."""
+        with self._lock:
+            victims = [k for k in self._entries if k.startswith(prefix)]
+            for k in victims:
+                self._drop(k)
+            return len(victims)
 
     def invalidate_table(self, table_id: str) -> int:
         """Drop every entry whose key starts with ``table_id#`` (C9)."""

@@ -30,6 +30,11 @@ class CachedQueryEngine:
         self.spark = spark
         self.cache = cache or CacheManager()
         self._loaders: dict[str, Callable[[], DataFrame]] = {}
+        # table_id -> snapshot id current when its temp view was last
+        # registered (None for non-catalog tables). Lets sql() register
+        # each view once instead of per call, re-registering only when
+        # the table's snapshot moved or it was invalidated.
+        self._registered: dict[str, str | None] = {}
         ensure_session_defaults(spark)
 
     # -- table registration -------------------------------------------------
@@ -120,11 +125,7 @@ class CachedQueryEngine:
         Catalyst normalizes to the same plan — different whitespace,
         aliasing, predicate order — is served from cache without
         re-execution."""
-        # Lazy registration: persist() only marks storage — blocks fill
-        # when a query actually touches the view, so registering N tables
-        # to answer a query over one of them costs nothing extra.
-        for table_id in self._loaders:
-            self.table(table_id, materialize=False).createOrReplaceTempView(table_id)
+        self._ensure_views()
         df = self.spark.sql(query)
         if not cache_result:
             return df
@@ -134,12 +135,35 @@ class CachedQueryEngine:
             return cached
         return self.cache.put(key, df)
 
-    @staticmethod
-    def _plan_fingerprint(df: DataFrame) -> str:
+    def _ensure_views(self) -> None:
+        """Register each known table as a temp view exactly once; a view
+        is re-registered only when its catalog snapshot moved or the
+        table was invalidated. Lazy registration: persist() only marks
+        storage — blocks fill when a query actually touches the view, so
+        registering N tables to answer a query over one costs nothing."""
+        for table_id in self._loaders:
+            snap = self._snapshot_of(table_id)
+            if table_id in self._registered and self._registered[table_id] == snap:
+                continue
+            self.table(table_id, materialize=False).createOrReplaceTempView(table_id)
+            self._registered[table_id] = snap
+
+    def _plan_fingerprint(self, df: DataFrame) -> str:
         """Semantic hash of the canonicalized analyzed plan (attribute
-        ids normalized away). No public PySpark API — JVM access."""
+        ids normalized away; no public PySpark API — JVM access), salted
+        with the snapshot ids of every catalog-backed table. A catalog
+        commit therefore changes the fingerprint and the cached result
+        is a natural miss — the stale entry ages out via eviction/TTL
+        (and invalidate_table drops ``__plan#`` entries eagerly).
+        Conservative: *all* catalog tables are folded in, not only the
+        plan's participants, so an unrelated commit costs one re-run."""
         plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
-        return str(plan.canonicalized().semanticHash())
+        base = str(plan.canonicalized().semanticHash())
+        catalogs = getattr(self, "_catalogs", {})
+        if not catalogs:
+            return base
+        snaps = ",".join(f"{t}={self._snapshot_of(t)}" for t in sorted(catalogs))
+        return f"{base}|{snaps}"
 
     # -- point lookups with bloom skip (C11 consulted for real) -------------
 
@@ -167,6 +191,18 @@ class CachedQueryEngine:
 
     def invalidate_table(self, table_id: str) -> int:
         n = self.cache.invalidate_table(table_id)
+        # Bloom indexes summarize a specific snapshot's data: a commit can
+        # add keys the bloom has never seen, turning definitely_absent
+        # into a wrong (stale) answer. Drop them; attach_bloom rebuilds
+        # on demand from the fresh cached table.
+        blooms = getattr(self, "_blooms", {})
+        for bkey in [k for k in blooms if k[0] == table_id]:
+            del blooms[bkey]
+        # Cached SQL results (__plan# entries) may have read this table;
+        # participation isn't tracked, so drop them all (cheap: bookkeeping
+        # + unpersist) — correctness over reuse.
+        self.cache.drop_prefix("__plan#")
+        self._registered.pop(table_id, None)
         try:
             self.spark.catalog.refreshTable(table_id)
         except Exception:

@@ -254,21 +254,21 @@ def ivf_centroids_from_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse centroids: the vectors whose ids hash into
-    distinct buckets (a seeding pass; k-means refinement is an optional
+    """Deterministic coarse centroids: per hash bucket, the vector with
+    the smallest id (a seeding pass; k-means refinement is an optional
     offline job — the *index structure* is what matters for the probe
-    path). Small driver-side list, broadcast into the plan."""
+    path). One partial-aggregating hash aggregate — map-side combine
+    reduces each task to ≤n_cells rows before the shuffle, so the job
+    scales with the corpus like any groupBy, with **no** single-digit-
+    partition window sort (the previous row_number().over(partitionBy
+    (_b)) funneled the whole corpus through n_cells sort tasks). The
+    result is n_cells rows — a legitimate driver-side collect, broadcast
+    into the plan as literals."""
     rows = (
         corpus.select(id_col, vec_col)
         .withColumn("_b", F.abs(F.xxhash64(F.col(id_col).cast("string"))) % n_cells)
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                W.partitionBy("_b").orderBy(F.col(id_col))
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .select("_b", vec_col)
+        .groupBy("_b")
+        .agg(F.min_by(F.col(vec_col), F.col(id_col)).alias(vec_col))
         .collect()
     )
     return [(int(r["_b"]), [float(x) for x in r[vec_col]]) for r in rows]

@@ -28,7 +28,20 @@ def salted_join(
     columns, stable across retries); the medium side is replicated
     ``salt`` times. Shuffle partitions per key grow by ``salt``×, row
     replication only on the smaller side — the standard trade.
+
+    Only join types whose output is row-preserving w.r.t. the large
+    side are allowed: under 'right'/'full'/'right_semi'/'right_anti'
+    each unmatched *replicated* medium row would be emitted once per
+    replica (salt× duplicates), silently breaking the semantics.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            f"medium side would duplicate unmatched rows {salt}x under "
+            f"right/full joins. Supported: {sorted(allowed)}"
+        )
     salt_col = (F.abs(F.xxhash64(*large.columns)) % salt).alias("_salt")
     salted_large = large.withColumn("_salt", salt_col)
     replicated = medium.withColumn(

@@ -37,9 +37,40 @@ def _df_schema(df: DataFrame) -> pa.Schema:
 
 
 def _batches(df: DataFrame, batch_size: int):
-    """Yield RecordBatches of at most batch_size rows."""
-    table = df.toArrow()
-    yield from table.to_batches(max_chunksize=batch_size)
+    """Yield RecordBatches of at most ``batch_size`` rows, streaming.
+
+    Rows flow through ``toLocalIterator(prefetchPartitions=True)`` —
+    Spark streams results to the driver one partition at a time (with
+    one partition of prefetch), so peak driver memory is
+    O(partition + batch), never O(result). The previous implementation
+    (``df.toArrow()``) collected the entire result before the first
+    batch went out — fine at dev scale, an OOM at 100 TB serving."""
+    schema = _df_schema(df)
+    names = schema.names
+    buf: list = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(row)
+        if len(buf) >= batch_size:
+            yield _rows_to_batch(buf, schema, names)
+            buf = []
+    if buf:
+        yield _rows_to_batch(buf, schema, names)
+
+
+def _plain(v):
+    """Spark Row → pyarrow-friendly plain Python (structs become dicts)."""
+    if hasattr(v, "asDict"):
+        return {k: _plain(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_plain(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    return v
+
+
+def _rows_to_batch(rows: list, schema: pa.Schema, names: list[str]) -> pa.RecordBatch:
+    cols = {name: [_plain(row[i]) for row in rows] for i, name in enumerate(names)}
+    return pa.RecordBatch.from_pydict(cols, schema=schema)
 
 
 class SparkFlightServer(flight.FlightServerBase):
@@ -56,16 +87,18 @@ class SparkFlightServer(flight.FlightServerBase):
 
     # -- resolution --------------------------------------------------------
 
-    def _resolve(self, name: str) -> DataFrame:
+    def _resolve(self, name: str, materialize: bool = True) -> DataFrame:
         if name.startswith("sql:"):
             return self.engine.sql(name[4:])
-        return self.engine.table(name)
+        # materialize=False for metadata-only calls: a schema request on a
+        # cold table must not trigger a full count() materialization job.
+        return self.engine.table(name, materialize=materialize)
 
     # -- Flight protocol ---------------------------------------------------
 
     def get_flight_info(self, context, descriptor):  # noqa: D102
         name = descriptor.path[0].decode()
-        df = self._resolve(name)
+        df = self._resolve(name, materialize=False)
         endpoint = flight.FlightEndpoint(name, [self.location])
         return flight.FlightInfo(_df_schema(df), descriptor, [endpoint], -1, -1)
 
@@ -77,7 +110,7 @@ class SparkFlightServer(flight.FlightServerBase):
 
     def list_flights(self, context, criteria):  # noqa: D102
         for table_id in self.engine._loaders:
-            df = self._resolve(table_id)
+            df = self._resolve(table_id, materialize=False)
             descriptor = flight.FlightDescriptor.for_path(table_id)
             endpoint = flight.FlightEndpoint(table_id, [self.location])
             yield flight.FlightInfo(_df_schema(df), descriptor, [endpoint], -1, -1)

@@ -346,7 +346,11 @@ def delete_where(
     right-to-be-forgotten primitive for a training-data lake — with the
     caveat that true erasure also requires expiring old snapshots."""
     current = catalog.read_table(table_id)
-    remaining = current.filter(f"NOT ({condition_sql})")
+    # SQL/Iceberg DELETE removes rows where the predicate is TRUE and
+    # KEEPS rows where it is FALSE **or NULL**; a bare NOT(cond) would
+    # silently drop NULL-predicate rows (permanent after
+    # expire_snapshots), so coalesce the three-valued result to FALSE.
+    remaining = current.filter(f"NOT coalesce(({condition_sql}), false)")
     return catalog.write_snapshot(table_id, remaining, mode="overwrite")
 
 

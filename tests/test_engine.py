@@ -24,10 +24,14 @@ def test_sql_over_registered_tables(spark, sf_dir, engine):
         "JOIN nation n ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
     ).collect()
     assert len(rows) == 5 and all(r.n == 5 for r in rows)
-    # second query hits the cache for both tables
-    hits_before = engine.stats()["hits"]
-    engine.sql("SELECT COUNT(*) AS n FROM nation").collect()
-    assert engine.stats()["hits"] > hits_before
+    # second query reuses the registered views (register-once): the
+    # cache keeps exactly one entry per table — no reload, no new miss
+    misses_before = engine.stats()["misses"]
+    entries_before = engine.stats()["entries"]
+    n = engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0].n
+    assert n == 25
+    assert engine.stats()["misses"] == misses_before
+    assert engine.stats()["entries"] == entries_before
     engine.cache.clear()
 
 

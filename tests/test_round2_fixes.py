@@ -1,0 +1,178 @@
+"""Round-2 fixes from VERDICT.md / ADVICE.md, each pinned by a test:
+
+- delete_where keeps NULL-predicate rows (SQL DELETE three-valued logic)
+- salted_join rejects join types that would duplicate unmatched rows
+- bloom indexes are invalidated on catalog commit (no stale absence)
+- CacheManager.put unpersists a replaced entry (no leaked blocks)
+- plan-fingerprint SQL result cache misses after a catalog commit
+- Flight do_get streams (generator; batch-bounded), metadata calls
+  don't materialize
+- IVF centroid seeding is a hash aggregate, not a window sort
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.cache import CacheManager
+from iceberg_cache_spark.engine import CachedQueryEngine
+from iceberg_cache_spark.sources.catalog import SnapshotParquetCatalog, delete_where
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    catalog = SnapshotParquetCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, 5), (2, 50), (3, None)], ["id", "value"]
+    )
+    catalog.write_snapshot("t", df)
+    delete_where(catalog, "t", "value > 10")
+    remaining = sorted(r.id for r in catalog.read_table("t").collect())
+    # id=2 deleted (TRUE); id=1 kept (FALSE); id=3 kept (NULL predicate)
+    assert remaining == [1, 3]
+
+
+def test_salted_join_rejects_row_duplicating_types(spark):
+    from iceberg_cache_spark.operators.skew import salted_join
+
+    large = spark.range(100).withColumnRenamed("id", "k")
+    medium = spark.range(10).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(large, medium, "k", how=how)
+    # supported types still produce exact semantics
+    inner = salted_join(large, medium, "k", how="inner", salt=4)
+    assert inner.count() == 10
+    left = salted_join(large, medium, "k", how="left", salt=4)
+    assert left.count() == 100
+    anti = salted_join(large, medium, "k", how="left_anti", salt=4)
+    assert anti.count() == 90
+
+
+def test_bloom_invalidated_on_commit(spark, tmp_path):
+    engine = CachedQueryEngine(spark, CacheManager(capacity_bytes=10**9))
+    catalog = SnapshotParquetCatalog(spark, str(tmp_path / "whb"))
+    catalog.write_snapshot("t", spark.range(0, 10).withColumnRenamed("id", "k"))
+    engine.register_catalog_table(catalog, "t")
+    engine.watch_catalog(catalog, "t")
+    engine.attach_bloom("t", "k", num_bits=1 << 14)
+    # 500 is absent pre-commit: bloom proves it, no scan
+    assert engine.point_lookup("t", "k", 500).count() == 0
+    # commit adds k=500; the stale bloom must not claim absence anymore
+    catalog.write_snapshot(
+        "t", spark.range(0, 10).withColumnRenamed("id", "k").union(
+            spark.createDataFrame([(500,)], ["k"])
+        ),
+    )
+    assert engine.point_lookup("t", "k", 500).count() == 1
+    engine.cache.clear()
+
+
+def test_put_replacement_unpersists_old_entry(spark):
+    cache = CacheManager(capacity_bytes=10**9)
+    df1 = spark.range(10)
+    df2 = spark.range(20)
+    out1 = cache.put("k", df1, size_bytes=100)
+    out1.count()
+    assert out1.storageLevel.useMemory  # persisted
+    cache.put("k", df2, size_bytes=100)
+    assert len(cache.keys()) == 1
+    # the replaced DataFrame's blocks were released
+    assert not out1.storageLevel.useMemory
+    assert cache.stats()["size_bytes"] == 100  # no double count
+    cache.clear()
+
+
+def test_plan_cache_invalidated_by_commit(spark, tmp_path):
+    engine = CachedQueryEngine(spark, CacheManager(capacity_bytes=10**9))
+    catalog = SnapshotParquetCatalog(spark, str(tmp_path / "whp"))
+    catalog.write_snapshot("t", spark.range(0, 10))
+    engine.register_catalog_table(catalog, "t")
+    engine.watch_catalog(catalog, "t")
+    q = "SELECT COUNT(*) AS n FROM t"
+    assert engine.sql(q, cache_result=True).collect()[0].n == 10
+    catalog.write_snapshot("t", spark.range(0, 42))
+    # same SQL after the commit: fresh data, not the stale cached result
+    assert engine.sql(q, cache_result=True).collect()[0].n == 42
+    engine.cache.clear()
+
+
+def test_plan_cache_snapshot_salted_fingerprint(spark, tmp_path):
+    """Even WITHOUT watch_catalog (no eager invalidation), the
+    snapshot-salted fingerprint makes a commit a natural cache miss."""
+    engine = CachedQueryEngine(spark, CacheManager(capacity_bytes=10**9))
+    catalog = SnapshotParquetCatalog(spark, str(tmp_path / "whs"))
+    catalog.write_snapshot("t", spark.range(0, 7))
+    engine.register_catalog_table(catalog, "t")
+    q = "SELECT COUNT(*) AS n FROM t"
+    assert engine.sql(q, cache_result=True).collect()[0].n == 7
+    catalog.write_snapshot("t", spark.range(0, 13))
+    assert engine.sql(q, cache_result=True).collect()[0].n == 13
+    engine.cache.clear()
+
+
+def test_flight_batches_stream_lazily(spark):
+    from iceberg_cache_spark.serving.flight import _batches
+
+    df = spark.range(0, 25_000, 1, 8).select(
+        F.col("id"), (F.col("id") * 2).alias("twice")
+    )
+    gen = _batches(df, batch_size=10_000)
+    # generator: nothing ran yet; batches are size-bounded as they come
+    first = next(gen)
+    assert first.num_rows == 10_000
+    sizes = [first.num_rows] + [b.num_rows for b in gen]
+    assert sum(sizes) == 25_000
+    assert max(sizes) <= 10_000
+
+
+def test_flight_metadata_does_not_materialize(spark):
+    """get_flight_info on a cold table must not run a count() job —
+    the cache entry stays unmaterialized (no filled blocks)."""
+    import pyarrow.flight as flight
+
+    from iceberg_cache_spark.serving.flight import SparkFlightServer
+
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return spark.range(1000)
+
+    engine = CachedQueryEngine(spark, CacheManager(capacity_bytes=10**9))
+    engine.register_loader("cold", loader)
+    server = SparkFlightServer(engine, location="grpc://0.0.0.0:0")
+    info = server.get_flight_info(
+        None, flight.FlightDescriptor.for_path("cold")
+    )
+    assert [f.name for f in info.schema] == ["id"]
+    assert len(calls) == 1  # loader ran once for schema, lazily
+    engine.cache.clear()
+    server.shutdown()
+
+
+def test_ivf_seeding_is_aggregate_not_window(spark, sf_dir):
+    import os
+
+    from iceberg_cache_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = ivf_centroids_from_sample(emb, n_cells=8)
+    assert 1 <= len(cents) <= 8
+    assert len({c[0] for c in cents}) == len(cents)  # distinct buckets
+    # the seeding plan is a hash aggregate — no Window, no global sort
+    plan = (
+        emb.select("vec_id", "embedding")
+        .withColumn(
+            "_b", F.abs(F.xxhash64(F.col("vec_id").cast("string"))) % 8
+        )
+        .groupBy("_b")
+        .agg(F.min_by("embedding", "vec_id").alias("embedding"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
