@@ -915,3 +915,278 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: training-data curation operators (sampling, splits,
+# contamination, repetition, packing, shuffle order)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q107_stratified_sample",
+    """SELECT doc_id, lang, source FROM documents
+       WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 25 END
+       ORDER BY doc_id""",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates via a
+    key-modulus predicate (en is over-represented, so it gets the lower
+    rate). Scan-local filter — no shuffle, prunes at the scan at any
+    scale. In production use xxhash64(id) % 100 so structured id spaces
+    can't bias the sample; the modulus form is used here because the
+    oracle engine lacks xxhash64."""
+    d = T(spark, sf, "documents")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(25)
+    return (
+        d.filter((F.col("doc_id") % 100) < rate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q108_train_split",
+    """SELECT lang, CASE WHEN doc_id % 10 < 8 THEN 'train'
+                        WHEN doc_id % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(n_chars) AS BIGINT) AS chars
+       FROM documents GROUP BY lang, split ORDER BY lang, split""",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 on the id) with
+    per-(lang, split) size accounting. One hash aggregate; the split
+    column is scan-local so the same expression also serves as a
+    partition predicate when writing the three splits out."""
+    d = T(spark, sf, "documents")
+    split = (
+        F.when((F.col("doc_id") % 10) < 8, "train")
+        .when((F.col("doc_id") % 10) == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@declared(
+    "q109_contamination_check",
+    f"""WITH toks AS (
+         SELECT doc_id, source, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       grams AS (
+         SELECT DISTINCT doc_id, source,
+                array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+5 AS BIGINT)], ' ') AS g
+         FROM toks, UNNEST(range(greatest(len(t) - 4, 1))) AS u(i)),
+       bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+       train AS (SELECT doc_id, g FROM grams WHERE source <> 'src0')
+       SELECT train.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+       FROM train JOIN bench USING (g)
+       GROUP BY train.doc_id ORDER BY doc_id""",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing any distinct
+    5-gram with the benchmark corpus (here: source='src0'), with the
+    shared-gram count. The benchmark gram set is tiny relative to the
+    corpus, so it broadcasts — the scan side never shuffles; at 100 TB
+    this is a broadcast-semi-join over a generated-column scan."""
+    from iceberg_cache_spark.operators.dedup import shingles_of
+    from iceberg_cache_spark.operators.text import tokens
+
+    d = T(spark, sf, "documents")
+    grams = (
+        d.withColumn("_toks", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles_of(F.col("_toks"), 5)).alias("g"),
+        )
+    )
+    bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    train = grams.filter(F.col("source") != "src0").select("doc_id", "g")
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q110_repetition_ratio",
+    f"""WITH t AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS toks FROM documents)
+       SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+              CASE WHEN len(toks) > 0
+                   THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END AS repetition
+       FROM t ORDER BY doc_id""",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition-ratio quality signal: 1 − distinct/total tokens. A
+    high ratio flags boilerplate/spam for filtering. Pure scan-local
+    array expressions (codegen, no shuffle); the ratio is a single IEEE
+    division, bit-identical across engines without rounding."""
+    d = T(spark, sf, "documents")
+    t = F.col("_toks")
+    return (
+        d.withColumn("_toks", X.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.size(t).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct"),
+            F.when(
+                F.size(t) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(t)) / F.size(t).cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q111_length_histogram",
+    f"""WITH t AS (
+         SELECT doc_id, len({_DUCK_TOKS.format(c='text')}) AS n FROM documents)
+       SELECT CAST(n // 16 AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(MIN(n) AS BIGINT) AS min_tokens,
+              CAST(MAX(n) AS BIGINT) AS max_tokens
+       FROM t GROUP BY bucket ORDER BY bucket""",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-length histogram in fixed-width buckets (integer division —
+    no float boundaries to disagree on). The curation view that drives
+    truncation/packing decisions; one map-side-combining aggregate."""
+    d = T(spark, sf, "documents")
+    n = X.token_count(F.col("text"))
+    return (
+        d.select(n.alias("n"))
+        .select(F.expr("n div 16").cast("bigint").alias("bucket"), "n")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").cast("bigint").alias("min_tokens"),
+            F.max("n").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@declared(
+    "q112_shuffle_order",
+    """SELECT doc_id, pos FROM (
+         SELECT doc_id, ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+         FROM documents) t
+       WHERE pos <= 200 ORDER BY pos""",
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training-order shuffle: order by a hash of
+    the id (md5 — identical hex in both engines), reproducible across
+    runs and partitionings. The LIMIT keeps the declared query bounded;
+    the production form writes the full ordering with
+    repartitionByRange(md5) + per-file local sort instead of one global
+    window."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf, "documents")
+    w = W.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        d.select("doc_id", F.row_number().over(w).cast("bigint").alias("pos"))
+        .filter(F.col("pos") <= 200)
+        .orderBy("pos")
+    )
+
+
+@declared(
+    "q113_keep_best_quality",
+    f"""WITH t AS (
+         SELECT doc_id, lang, source, {_DUCK_TOKS.format(c='text')} AS toks
+         FROM documents),
+       s AS (
+         SELECT doc_id, lang, source,
+            CASE WHEN len(toks) > 0
+                 THEN ROUND(len(list_filter(toks, x -> list_contains(
+                        ['the','and','of','to','is','in','that','it'], x)))
+                      / CAST(len(toks) AS DOUBLE), 4)
+                 ELSE 0.0 END AS sr
+         FROM t)
+       SELECT lang, source, doc_id, sr FROM (
+         SELECT lang, source, doc_id, sr, ROW_NUMBER() OVER (
+             PARTITION BY lang, source ORDER BY sr DESC, doc_id) AS rn
+         FROM s) r
+       WHERE rn = 1 ORDER BY lang, source""",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best dedup by quality signal: one representative per
+    (lang, source) stratum — the highest stopword-ratio doc, id as the
+    tie-break. The window shuffles once on the stratum key; at scale
+    this is the same plan as any top-1-per-group (no global sort)."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf, "documents")
+    sr = F.round(X.stopword_ratio(F.col("text")), 4)
+    w = W.partitionBy("lang", "source").orderBy(
+        F.col("sr").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("sr", sr)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", "doc_id", "sr")
+        .orderBy("lang", "source")
+    )
+
+
+@declared(
+    "q114_sequence_packing",
+    f"""WITH t AS (
+         SELECT doc_id, lang, len({_DUCK_TOKS.format(c='text')}) AS n
+         FROM documents),
+       c AS (
+         SELECT doc_id, lang, n,
+                COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_before
+         FROM t)
+       SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n) AS BIGINT) AS total_tokens
+       FROM c GROUP BY lang, bin ORDER BY lang, bin""",
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for training: docs stream per language in id
+    order into 2048-token context bins (bin = running token offset div
+    context length). Window cumulative sum + hash aggregate — one
+    shuffle on the language key. At 100 TB the partition key would be
+    (lang, shard) so no single language serializes into one task."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf, "documents")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("n", X.token_count(F.col("text")))
+        .withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .select("lang", F.expr("cum_before div 2048").cast("bigint").alias("bin"), "n")
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
