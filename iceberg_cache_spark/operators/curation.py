@@ -1,0 +1,92 @@
+"""End-to-end training-data curation pipeline.
+
+Composes the curation tier into one DataFrame transform (the shape a
+100 TB pre-training data job actually runs):
+
+1. drop the benchmark source entirely (it must never train),
+2. quality-filter (composite score from ``operators.text``),
+3. exact dedup on the normalized-text fingerprint (min-id keeper),
+4. benchmark-contamination removal (any shared distinct word 5-gram
+   with the benchmark corpus → drop; gram set broadcasts),
+5. deterministic train/val/test assignment (id modulus).
+
+Every stage is declarative DataFrame code: the quality filter and the
+fingerprint are scan-local expressions; dedup is one hash aggregate;
+contamination is a broadcast join + anti-join (the benchmark gram set
+is tiny next to the corpus); the split column is a scan-local CASE.
+Total shuffles at scale: one for the dedup groupBy, one for the
+contamination anti-join — both on keys that partition evenly.
+
+Declared as ``q115_curation_pipeline`` with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.operators.dedup import shingles_of
+from iceberg_cache_spark.operators.text import fingerprint, quality_score, tokens
+
+
+def assign_split(
+    id_col: str = "doc_id", train: int = 8, val: int = 1
+) -> F.Column:
+    """Deterministic split label from the id: ``train`` tenths train,
+    ``val`` tenths validation, remainder test."""
+    m = F.col(id_col) % 10
+    return (
+        F.when(m < train, "train")
+        .when(m < train + val, "val")
+        .otherwise("test")
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Ids of ``docs`` sharing at least one distinct word ``n``-gram
+    with ``benchmark``. The benchmark gram set broadcasts; the doc side
+    is a generated-column scan — no shuffle of the corpus."""
+    def grams(df: DataFrame, *keep: str) -> DataFrame:
+        return (
+            df.withColumn("_toks", tokens(F.col(text_col)))
+            .select(*keep, F.explode(shingles_of(F.col("_toks"), n)).alias("g"))
+        )
+
+    bench_grams = grams(benchmark).select("g").distinct()
+    return (
+        grams(docs, id_col)
+        .join(F.broadcast(bench_grams), "g")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def curate(
+    docs: DataFrame,
+    benchmark_source: str = "src0",
+    quality_min: float = 0.5,
+    ngram: int = 5,
+) -> DataFrame:
+    """Run the full curation pipeline; returns (doc_id, lang, split)."""
+    benchmark = docs.filter(F.col("source") == benchmark_source)
+    kept = docs.filter(F.col("source") != benchmark_source).filter(
+        quality_score(F.col("text")) >= quality_min
+    )
+    reps = (
+        kept.select("doc_id", fingerprint(F.col("text")).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    rep_docs = docs.join(reps, "doc_id")  # re-attach text/lang to keepers
+    dirty = contaminated_ids(rep_docs, benchmark, n=ngram)
+    clean = rep_docs.join(dirty, "doc_id", "left_anti")
+    return clean.select(
+        "doc_id", "lang", assign_split().alias("split")
+    )

@@ -1190,3 +1190,42 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+@declared(
+    "q115_curation_pipeline",
+    _QUALITY_CTE
+    + f""", kept AS (
+         SELECT l.doc_id FROM lang l JOIN documents d ON d.doc_id = l.doc_id
+         WHERE d.source <> 'src0' AND l.quality >= 0.5),
+       fp AS (
+         SELECT d.doc_id,
+                md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents d JOIN kept k ON k.doc_id = d.doc_id),
+       reps AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+       toks5 AS (SELECT doc_id, source, {_DUCK_TOKS.format(c='text')} AS tt
+                 FROM documents),
+       grams5 AS (SELECT DISTINCT doc_id, source,
+             array_to_string(tt[CAST(i+1 AS BIGINT):CAST(i+5 AS BIGINT)], ' ') AS g
+           FROM toks5, UNNEST(range(greatest(len(tt) - 4, 1))) AS u(i)),
+       bench AS (SELECT DISTINCT g FROM grams5 WHERE source = 'src0'),
+       dirty AS (SELECT DISTINCT gr.doc_id
+                 FROM grams5 gr JOIN reps r ON r.doc_id = gr.doc_id
+                 JOIN bench b ON b.g = gr.g),
+       final AS (SELECT r.doc_id FROM reps r
+                 LEFT JOIN dirty x ON x.doc_id = r.doc_id
+                 WHERE x.doc_id IS NULL)
+       SELECT f.doc_id, d.lang,
+              CASE WHEN f.doc_id % 10 < 8 THEN 'train'
+                   WHEN f.doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+       FROM final f JOIN documents d ON d.doc_id = f.doc_id
+       ORDER BY f.doc_id""",
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """The full curation pipeline (quality filter → benchmark exclusion
+    → fingerprint dedup → contamination removal → split assignment) as
+    ONE declared query — the flagship of the training-data tier. See
+    ``operators/curation.py`` for the per-stage scale analysis."""
+    from iceberg_cache_spark.operators.curation import curate
+
+    return curate(T(spark, sf, "documents")).orderBy("doc_id")

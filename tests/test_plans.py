@@ -66,3 +66,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_contamination_check_broadcasts_benchmark(spark, sf_dir):
+    """q109's benchmark gram set must broadcast — the training-side scan
+    never shuffles on the gram key (the 100 TB-safe shape)."""
+    plan = physical(spark, sf_dir, "q109_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_scan_local(spark, sf_dir):
+    """q107 is a pure filter: no Exchange before the output sort."""
+    plan = physical(spark, sf_dir, "q107_stratified_sample")
+    # exactly the one rangepartitioning exchange the ORDER BY demands
+    assert plan.count("Exchange") == 1
+
+
+def test_sequence_packing_single_shuffle_key(spark, sf_dir):
+    """q114: the cumsum window and the bin aggregate share the lang key;
+    no second full shuffle of the data between them."""
+    plan = physical(spark, sf_dir, "q114_sequence_packing")
+    assert "Window" in plan and "CartesianProduct" not in plan
+
+
+def test_keep_best_quality_no_global_sort_before_filter(spark, sf_dir):
+    """q113 is top-1-per-group: partitioned window, not a global sort."""
+    plan = physical(spark, sf_dir, "q113_keep_best_quality")
+    assert "Window" in plan
