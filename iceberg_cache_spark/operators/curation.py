@@ -90,3 +90,52 @@ def curate(
     return clean.select(
         "doc_id", "lang", assign_split().alias("split")
     )
+
+
+def shuffle_order(
+    df: DataFrame, id_col: str = "doc_id", num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic full-corpus training-order shuffle, scale-safe.
+
+    The declared form (``q112_shuffle_order``) demonstrates the
+    semantics with ``row_number() OVER (ORDER BY md5(id))`` — a single-
+    partition window sort, fine for a bounded LIMIT, a non-starter for
+    writing a 100 TB epoch ordering. This is the production form:
+
+    - ``repartitionByRange`` on the md5 key → a range shuffle (sampled
+      range bounds, all partitions work in parallel, no single-task
+      Exchange),
+    - ``sortWithinPartitions`` → per-partition local sort.
+
+    Range partition i holds keys strictly below partition i+1's, so
+    (file order, row order within file) IS the global md5 order — the
+    same total order the window form produces, without any global sort.
+    A trainer streams files in index order and sees a reproducible,
+    well-mixed epoch ordering; re-running on different input
+    partitioning yields the identical order (key = content hash of the
+    id, range bounds re-sampled but order-preserving)."""
+    key = F.md5(F.col(id_col).cast("string"))
+    out = df.withColumn("__shuffle_key", key)
+    if num_partitions is not None:
+        out = out.repartitionByRange(num_partitions, "__shuffle_key", id_col)
+    else:
+        out = out.repartitionByRange("__shuffle_key", id_col)
+    return out.sortWithinPartitions("__shuffle_key", id_col)
+
+
+def shuffle_order_write(
+    df: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` in deterministic shuffled training order (see
+    ``shuffle_order``). The shuffle key is dropped from the output;
+    the order is carried by (file index, row position)."""
+    (
+        shuffle_order(df, id_col, num_partitions)
+        .drop("__shuffle_key")
+        .write.mode(mode)
+        .parquet(out_path)
+    )

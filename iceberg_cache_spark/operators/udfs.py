@@ -91,11 +91,35 @@ def grouped_zscore(
     group_col: str,
     value_col: str,
     id_col: str,
+    use_pandas: bool = False,
 ) -> DataFrame:
-    """Per-group z-score via applyInPandas (grouped-map): each group's
-    batch arrives as one pandas frame. Mean/std derive from exact
-    Decimal sums (same arithmetic as the SQL oracle), so outputs are
-    bit-reproducible. Closure is self-contained (by-value pickling)."""
+    """Per-group z-score. Default is the pure-aggregate relational form
+    (decimal-exact sums + broadcast join back) — scan-local arithmetic,
+    one shuffle on the group key, safe at any group size. Pass
+    ``use_pandas=True`` for the applyInPandas grouped-map form, kept to
+    exercise the Python-UDF surface: it lands EACH group in one pandas
+    frame on one worker, so at 100 TB a hot group OOMs — demo path
+    only. Both paths use the same exact-Decimal algebra, so outputs
+    are bit-identical."""
+    if not use_pandas:
+        vdec = F.col(value_col).cast("decimal(25,6)")
+        v2dec = (F.col(value_col) * F.col(value_col)).cast("decimal(25,6)")
+        g = df.groupBy(group_col).agg(
+            F.count("*").alias("n"),
+            F.sum(vdec).cast("double").alias("s1"),
+            F.sum(v2dec).cast("double").alias("s2"),
+        )
+        n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        z = F.when(
+            (n > 1) & (var > 0),
+            F.round((F.col(value_col) - s1 / n) / F.sqrt(var), 4),
+        ).otherwise(F.lit(0.0))
+        return (
+            df.select(id_col, group_col, value_col)
+            .join(F.broadcast(g), group_col)
+            .select(id_col, group_col, z.alias("z"))
+        )
     from pyspark.sql.types import (
         DoubleType,
         LongType,

@@ -704,19 +704,28 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
                     CASE WHEN am > 0 THEN am ELSE 1.0 END AS q_scale,
                     embedding FROM s)
        SELECT vec_id, ROUND(q_scale, 6) AS q_scale_r,
-              list_transform(embedding,
-                x -> CAST(FLOOR(CAST(x AS DOUBLE) / q_scale * 127 + 0.5) AS INT))
-                AS q_codes
+              array_to_string(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) / q_scale * 127 + 0.5) AS INT)),
+                ',') AS q_codes_csv
        FROM q ORDER BY vec_id""",
 )
 def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 quantization. The code vector is emitted as a CSV string
+    (``array_join``) rather than ``array<int>`` — the external driver's
+    canonicalizer sorts result columns with pandas, and a list-typed
+    column raises ``unhashable type: 'list'`` (the one red row in
+    CORRECTNESS_r02). Scalar columns keep the check exact AND
+    driver-runnable; the array form stays available via
+    ``S.quantize_int8`` directly."""
     e = T(spark, sf, "embeddings")
     return (
         S.quantize_int8(e)
         .select(
             "vec_id",
             F.round("q_scale", 6).alias("q_scale_r"),
-            "q_codes",
+            F.array_join(F.col("q_codes").cast("array<string>"), ",").alias(
+                "q_codes_csv"
+            ),
         )
         .orderBy("vec_id")
     )
@@ -1095,9 +1104,9 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic global training-order shuffle: order by a hash of
     the id (md5 — identical hex in both engines), reproducible across
     runs and partitionings. The LIMIT keeps the declared query bounded;
-    the production form writes the full ordering with
-    repartitionByRange(md5) + per-file local sort instead of one global
-    window."""
+    the production form is ``operators.curation.shuffle_order_write``
+    (repartitionByRange(md5) + per-file local sort — no single-
+    partition Exchange; plan-guarded in tests/test_round3_fixes.py)."""
     from pyspark.sql import Window as W
 
     d = T(spark, sf, "documents")

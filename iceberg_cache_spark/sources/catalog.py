@@ -303,15 +303,32 @@ class IcebergCatalog:
         return df.limit(limit) if limit else df
 
     def current_snapshot_id(self, table_id: str) -> str:
-        row = (
-            self.spark.sql(
-                f"SELECT snapshot_id FROM {self._qualified(table_id)}.snapshots "
-                "ORDER BY committed_at DESC LIMIT 1"
+        """Resolve the snapshot a plain read of the table would see.
+
+        NOT ``MAX(committed_at) FROM .snapshots``: that metadata table
+        lists every *retained* snapshot — rolled-back heads, WAP/staged
+        commits, branch/tag snapshots — so after a rollback the newest
+        ``committed_at`` row is exactly the snapshot the table is NOT
+        on, and a cache keyed by it would serve stale results as fresh
+        (the reference resolves via ``table.current_snapshot()``, ref
+        ``src/iceberg_management/metadata.py:125,182``). The ``main``
+        branch ref IS the current table state; ``.history`` rows with
+        ``is_current_ancestor`` are the fallback for catalogs predating
+        the ``.refs`` metadata table."""
+        q = self._qualified(table_id)
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {q}.refs "
+            "WHERE name = 'main' AND type = 'BRANCH'"
+        ).collect()
+        if not rows:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {q}.history "
+                "WHERE is_current_ancestor "
+                "ORDER BY made_current_at DESC LIMIT 1"
             ).collect()
-        )
-        if not row:
+        if not rows:
             raise KeyError(f"table '{table_id}' has no snapshots")
-        return str(row[0].snapshot_id)
+        return str(rows[0].snapshot_id)
 
     def get_snapshot(self, table_id: str):
         """CachedQueryEngine seam: object with a .snapshot_id attribute."""

@@ -1,13 +1,18 @@
 """Drive __spark_entry__ exactly as the driver's verify does:
 vanilla SparkSession, entry() smoke, then every queries() entry at
 sf0.01 compared with its oracle_sql() via DuckDB. Writes the
-machine-readable result to CORRECTNESS_local_r2.json (full-corpus
-verification regardless of driver sampling — the round-1 driver
-checked only the first 50 registry entries)."""
+machine-readable result to CORRECTNESS_local_r{N}.json (full-corpus
+verification regardless of driver sampling — the driver checks only
+the first ~50 registry entries each round). Round number comes from
+SPARK_GRAFT_ROUND (default 3)."""
 import importlib.util
 import json
+import os
 import sys
 import time
+
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "3")
+OUT = f"/root/repo/CORRECTNESS_local_r{ROUND}.json"
 
 sys.path.insert(0, "/root/repo")
 
@@ -61,9 +66,9 @@ for name in sorted(qs):
     print(f"{name:28s} {status:14s} {results[name]['sec']:5.1f}s", flush=True)
 print(f"RESULT: {ok} ok, {bad} failed", flush=True)
 
-with open("/root/repo/CORRECTNESS_local_r2.json", "w") as fh:
+with open(OUT, "w") as fh:
     json.dump(
         {"sf": 0.01, "total": len(qs), "ok": ok, "failed": bad, "queries": results},
         fh, indent=1,
     )
-print("wrote CORRECTNESS_local_r2.json", flush=True)
+print(f"wrote {OUT}", flush=True)
