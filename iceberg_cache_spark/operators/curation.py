@@ -139,3 +139,65 @@ def shuffle_order_write(
         .write.mode(mode)
         .parquet(out_path)
     )
+
+
+def domain_reweight(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain (source) reweighting toward a uniform token mix — the
+    DoReMi-flavoured curation step: sources above their target token
+    share are downsampled, sources at/below keep everything.
+
+    All arithmetic is INTEGER (target = total div n_sources; keep rate
+    in per-mille = min(1000, 1000·target div actual); a doc survives iff
+    id mod 1000 < permille), so the sample is deterministic and
+    engine-portable — no float rates, no RNG, reproducible across
+    partitionings and re-runs.
+
+    Plan shape at 100 TB: per-source token totals are one hash
+    aggregate; the totals table is O(n_sources) rows so it BROADCASTS
+    back onto the scan, making the keep decision scan-local; the final
+    per-source roll-up is a second small aggregate. No window, no
+    global sort."""
+    from iceberg_cache_spark.operators.text import token_count
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(F.col(text_col)).alias("n_tok"),
+    )
+    per_src = toks.groupBy(source_col).agg(
+        F.sum("n_tok").cast("bigint").alias("src_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total"), F.count("*").alias("n_src")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn("target", F.expr("total div n_src"))
+        .withColumn(
+            "permille",
+            F.least(F.lit(1000), F.expr("(1000 * target) div src_tokens"))
+            .cast("bigint"),
+        )
+        .select(source_col, "src_tokens", "permille")
+    )
+    kept = (
+        toks.join(F.broadcast(rates), source_col)
+        .filter((F.col(id_col) % 1000) < F.col("permille"))
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+        )
+    )
+    return rates.join(kept, source_col, "left").select(
+        source_col,
+        "src_tokens",
+        "permille",
+        F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+    )

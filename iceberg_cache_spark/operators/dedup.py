@@ -381,3 +381,116 @@ def ngram_jaccard_pairs_ppjoin(
         )
         .filter(F.col("jaccard") >= thr)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over a similarity pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the (undirected) duplicate-pair graph via
+    iterative min-label propagation: ``(id, cluster_id)`` with
+    ``cluster_id`` = the minimum doc id reachable from ``id``.
+
+    Pair emitters (`ngram_jaccard_pairs`, LSH/MinHash candidates) give
+    EDGES; production dedup needs the transitive closure — A~B and B~C
+    must collapse to ONE surviving representative even when A~C was
+    never emitted. Each iteration is one shuffle-join (edges ⨝ labels on
+    the source id) plus one min-aggregate; with both edge directions
+    present, the minimum label floods a component in at most its
+    diameter — near-dup clusters are shallow (dozens of hops at the
+    extreme), so convergence is a handful of iterations, never O(n).
+    ``localCheckpoint`` truncates the growing lineage each round so the
+    plan doesn't deepen exponentially (on a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    fault-tolerant truncation). The early-exit convergence probe is an
+    aggregate (``limit(1).count()``), not a driver collect.
+
+    ``pairs`` is materialized ONCE up front (``localCheckpoint``):
+    upstream pair emitters are typically the most expensive plan in the
+    job (inverted-index joins), and a lazy edge list would re-run that
+    plan inside every iteration of the loop.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cid", F.col("id"))
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "cid"
+        )
+        new = (
+            labels.select("id", "cid")
+            .unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("cid").alias("cid"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.select("id", F.col("cid").alias("prev")), "id")
+            .filter(F.col("cid") < F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def boilerplate_gram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate exposure: of the doc's distinct word
+    n-grams, how many occur in ≥ ``min_df`` documents (C4/RefinedWeb-
+    style repeated-content signal, the precursor to span removal).
+
+    Plan shape at 100 TB: one exploded-gram aggregate builds the
+    document-frequency table (hash agg, map-side combine); the
+    "boilerplate" gram set (df ≥ min_df) is a small fraction of the gram
+    space by construction — high-df grams are few — so it BROADCASTS
+    back, and the per-doc recount is a broadcast semi-join over the
+    scan, not a second all-grams shuffle join."""
+    grams = with_shingles(df, text_col, n).select(
+        F.col(id_col), F.explode_outer(F.col("_sh")).alias("g")
+    ).filter(F.col("g").isNotNull()).select(id_col, F.xxhash64("g").alias("gh"))
+    boiler = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("dfreq"))
+        .filter(F.col("dfreq") >= min_df)
+        .select("gh")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        grams.join(F.broadcast(boiler), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""ML-assisted curation operators (pyspark.ml): embedding clustering
+for diversity sampling, and a trained quality classifier for corpus
+scoring — the two standard "model-in-the-loop" steps of a large-scale
+pre-training data pipeline (SemDeDup / cluster-balanced selection;
+FineWeb-style classifier filtering — public techniques).
+
+Scale design (100 TB):
+- KMeans fit runs on a SAMPLE (clustering cost is per-row × k × iters;
+  centroids from a few million sampled vectors are as good as from the
+  full corpus), then assignment is a broadcast of k centroids and one
+  scan-local transform — the same fit-small/apply-big shape as the IVF
+  index in ``operators/similarity``.
+- Classifier fit likewise trains on a labeled sample; scoring is one
+  JVM-side transform over the scan (no Python in the hot path — the
+  fitted model is JVM code).
+- Neither step is SQL-expressible, so the declared queries are
+  rows-only checks; the semantics are pinned by planted-fixture unit
+  tests (separable blobs → clusters recovered; classifier recovers a
+  known linear rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    seed: int = 42,
+    fit_fraction: float = 1.0,
+) -> DataFrame:
+    """Cluster an ``array<float>`` embedding column with seeded KMeans;
+    returns (id, cluster). ``fit_fraction`` < 1 trains the centroids on
+    a deterministic sample (the 100 TB path) while still assigning
+    EVERY row."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    fit_on = vecs if fit_fraction >= 1.0 else vecs.sample(fit_fraction, seed)
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(fit_on)
+    return model.transform(vecs).select(
+        id_col, F.col("prediction").cast("int").alias("cluster")
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    per_cluster: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity sampling: cluster the embedding space, then keep at
+    most ``per_cluster`` rows per cluster (deterministic min-id order) —
+    cluster-balanced selection flattens the corpus's density skew so
+    over-represented modes don't dominate the training mix. One window
+    shuffle on the cluster key after the scan-local assignment."""
+    clustered = kmeans_clusters(df, vec_col, id_col, k=k, seed=seed)
+    w = W.partitionBy("cluster").orderBy(id_col)
+    return (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_cluster)
+        .select(id_col, "cluster")
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Train-and-score quality classification: fit a logistic
+    regression on the corpus's own Gopher rule outcomes (integer-exact
+    labels from ``text.gopher_metrics``), then score every document
+    with a calibrated probability — the FineWeb/DCLM pattern where a
+    cheap model generalizes a rule-based seed signal. Features are the
+    four rule inputs; at 100 TB the fit runs on a sample and the
+    scoring transform is JVM-side over the scan."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from iceberg_cache_spark.operators.text import gopher_metrics
+
+    m = gopher_metrics(docs, id_col, text_col)
+    feats = m.select(
+        id_col,
+        F.col("n_words").cast("double").alias("f_words"),
+        (F.col("max_word_freq") / F.col("n_words")).alias("f_maxshare"),
+        (F.col("n_word_chars") / F.col("n_words")).alias("f_meanlen"),
+        (F.col("n_stopwords") / F.col("n_words")).alias("f_stopratio"),
+        F.col("passes").cast("double").alias("label"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["f_words", "f_maxshare", "f_meanlen", "f_stopratio"],
+        outputCol="features",
+    ).transform(feats)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
+    )
+    model = lr.fit(assembled)
+    scored = model.transform(assembled)
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)  # P(label=1)
+    return scored.select(
+        id_col,
+        F.col("label").cast("int").alias("rule_pass"),
+        F.round(p1, 6).alias("quality_prob"),
+        F.col("prediction").cast("int").alias("pred_pass"),
+    )

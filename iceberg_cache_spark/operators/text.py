@@ -137,3 +137,44 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(c))
         .withColumn("fp", fingerprint(c))
     )
+
+
+def gopher_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public) as
+    pure INTEGER relational algebra — every threshold is a cross-
+    multiplied integer comparison, so the flags are bit-identical on any
+    engine (no float division to disagree at round-half ties).
+
+    Rules: word count in [50, 100000]; mean word length in [3, 10]
+    (as 3·n ≤ chars ≤ 10·n); most-frequent-word share ≤ 20 %
+    (as 5·maxf ≤ n); ≥ 2 stopword occurrences.
+
+    Plan shape: explode tokens → (doc, word) count → per-doc aggregate.
+    Two hash aggregates with map-side combine, shuffle keyed by doc id —
+    no windows, no Python. The (doc, word) intermediate is bounded by
+    corpus token count, exactly like any inverted-index build."""
+    stop = _LANG_MARKERS["en"]
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    c = ex.groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
+    m = c.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.max("cnt").cast("bigint").alias("max_word_freq"),
+        F.sum(F.length("w") * F.col("cnt")).cast("bigint").alias("n_word_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("w").isin(*stop), F.col("cnt"))), F.lit(0)
+        ).cast("bigint").alias("n_stopwords"),
+    )
+    n, maxf = F.col("n_words"), F.col("max_word_freq")
+    chars, stops = F.col("n_word_chars"), F.col("n_stopwords")
+    word_count_ok = ((n >= 50) & (n <= 100000)).cast("int")
+    mean_len_ok = ((3 * n <= chars) & (chars <= 10 * n)).cast("int")
+    repetition_ok = (5 * maxf <= n).cast("int")
+    stopword_ok = (stops >= 2).cast("int")
+    return m.select(
+        id_col, "n_words", "max_word_freq", "n_word_chars", "n_stopwords",
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        repetition_ok.alias("repetition_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (word_count_ok * mean_len_ok * repetition_ok * stopword_ok).alias("passes"),
+    )

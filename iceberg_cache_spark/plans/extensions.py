@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_cache_spark.operators import curation as C
 from iceberg_cache_spark.operators import dedup as D
 from iceberg_cache_spark.operators import multimodal as M
 from iceberg_cache_spark.operators import similarity as S
@@ -1238,3 +1239,175 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_cache_spark.operators.curation import curate
 
     return curate(T(spark, sf, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 3: dedup clusters, quality rules, boilerplate, domain reweighting
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q116_dedup_clusters",
+    f"""WITH RECURSIVE toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       allgrams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id,
+                  array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+3 AS BIGINT)], ' ') AS g
+           FROM toks, UNNEST(range(greatest(len(t) - 2, 1))) AS u(i))),
+       gram_df AS (SELECT g, COUNT(*) AS dfreq FROM allgrams GROUP BY g),
+       grams AS (SELECT doc_id, g FROM allgrams JOIN gram_df USING (g)
+                 WHERE dfreq <= 100),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         FROM grams a JOIN grams b USING (g)
+         WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+       pairs AS (
+         SELECT id_a, id_b FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(doc, r) AS (
+         SELECT DISTINCT a, a FROM edges
+         UNION
+         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
+       SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY doc ORDER BY doc_id""",
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components of the
+    exact n-gram-Jaccard ≥ 0.5 pair graph by iterative min-label
+    propagation (transitive closure — A~B, B~C collapse to one cluster
+    even when A~C was never emitted). The oracle computes the same
+    components with a recursive CTE. Each Spark iteration is one
+    edges⨝labels join + min-aggregate; convergence ≤ graph diameter."""
+    d = T(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    return (
+        D.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("cid").cast("bigint").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q117_gopher_rules",
+    f"""WITH t AS (
+         SELECT doc_id, unnest({_DUCK_TOKS.format(c='text')}) AS w FROM documents),
+       c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM t GROUP BY doc_id, w),
+       m AS (
+         SELECT doc_id,
+                CAST(SUM(cnt) AS BIGINT) AS n_words,
+                CAST(MAX(cnt) AS BIGINT) AS max_word_freq,
+                CAST(SUM(len(w) * cnt) AS BIGINT) AS n_word_chars,
+                CAST(COALESCE(SUM(cnt) FILTER (w IN
+                    ('the','and','of','to','is','in','that','it')), 0) AS BIGINT)
+                  AS n_stopwords
+         FROM c GROUP BY doc_id)
+       SELECT doc_id, n_words, max_word_freq, n_word_chars, n_stopwords,
+              CAST(n_words BETWEEN 50 AND 100000 AS INT) AS word_count_ok,
+              CAST(3 * n_words <= n_word_chars
+                   AND n_word_chars <= 10 * n_words AS INT) AS mean_len_ok,
+              CAST(5 * max_word_freq <= n_words AS INT) AS repetition_ok,
+              CAST(n_stopwords >= 2 AS INT) AS stopword_ok,
+              CAST(n_words BETWEEN 50 AND 100000 AS INT)
+                * CAST(3 * n_words <= n_word_chars
+                       AND n_word_chars <= 10 * n_words AS INT)
+                * CAST(5 * max_word_freq <= n_words AS INT)
+                * CAST(n_stopwords >= 2 AS INT) AS passes
+       FROM m ORDER BY doc_id""",
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style quality rules (public heuristics, Rae et al. 2021)
+    as pure integer relational algebra — thresholds are cross-multiplied
+    integer comparisons, engine-portable with no float ties."""
+    return X.gopher_metrics(T(spark, sf, "documents")).orderBy("doc_id")
+
+
+@declared(
+    "q118_boilerplate_grams",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       allgrams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id,
+                  array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+3 AS BIGINT)], ' ') AS g
+           FROM toks, UNNEST(range(greatest(len(t) - 2, 1))) AS u(i))),
+       gram_df AS (SELECT g, COUNT(*) AS dfreq FROM allgrams GROUP BY g)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_grams,
+              CAST(COALESCE(SUM(CASE WHEN dfreq >= 2 THEN 1 END), 0) AS BIGINT)
+                AS n_boiler
+       FROM allgrams JOIN gram_df USING (g)
+       GROUP BY doc_id ORDER BY doc_id""",
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/RefinedWeb-style repeated-content signal: per doc, how many of
+    its distinct 3-grams occur in ≥2 documents. The Spark plan broadcasts
+    the (small) high-df gram set back onto the scan — a broadcast
+    semi-join, not a second all-grams shuffle (the oracle's plain join
+    states the semantics)."""
+    return D.boilerplate_gram_stats(
+        T(spark, sf, "documents"), n=3, min_df=2
+    ).orderBy("doc_id")
+
+
+@declared(
+    "q119_domain_reweight",
+    f"""WITH toks AS (
+         SELECT doc_id, source, len({_DUCK_TOKS.format(c='text')}) AS n_tok
+         FROM documents),
+       per_src AS (
+         SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+         FROM toks GROUP BY source),
+       rates AS (
+         SELECT source, src_tokens,
+                CAST(least(1000, (1000 * (total // n_src)) // src_tokens)
+                     AS BIGINT) AS permille
+         FROM per_src CROSS JOIN (
+           SELECT SUM(src_tokens) AS total, COUNT(*) AS n_src FROM per_src)),
+       kept AS (
+         SELECT t.source, COUNT(*) AS kept_docs,
+                CAST(SUM(t.n_tok) AS BIGINT) AS kept_tokens
+         FROM toks t JOIN rates r ON r.source = t.source
+         WHERE t.doc_id % 1000 < r.permille GROUP BY t.source)
+       SELECT r.source, r.src_tokens, r.permille,
+              CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+              CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+       FROM rates r LEFT JOIN kept k ON k.source = r.source
+       ORDER BY r.source""",
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain reweighting toward a uniform per-source token mix with a
+    deterministic integer-arithmetic sample (DoReMi-flavoured): target =
+    total div n_sources, keep-rate in per-mille, survival = id mod 1000
+    < permille. Rates broadcast; the keep decision is scan-local."""
+    return C.domain_reweight(T(spark, sf, "documents")).orderBy("source")
+
+
+@declared("q126_cluster_balanced_sample")  # ML op: rows-only check
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style diversity sampling: seeded KMeans over the
+    embedding space, then a deterministic per-cluster cap. Not
+    SQL-expressible (iterative clustering) → rows-only driver check;
+    semantics pinned by planted-blob unit tests
+    (tests/test_ml_tier.py)."""
+    from iceberg_cache_spark.operators.ml import cluster_balanced_sample
+
+    e = T(spark, sf, "embeddings")
+    return cluster_balanced_sample(e, k=8, per_cluster=10).orderBy("vec_id")
+
+
+@declared("q127_quality_classifier")  # ML op: rows-only check
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """FineWeb-style quality classifier: logistic regression fit on the
+    corpus's own Gopher-rule outcomes, scoring every doc with a
+    probability. Iterative fit → rows-only driver check; the classifier-
+    recovers-the-rule invariant is unit-tested."""
+    from iceberg_cache_spark.operators.ml import quality_classifier_scores
+
+    d = T(spark, sf, "documents")
+    return quality_classifier_scores(d).orderBy("doc_id")

@@ -1202,3 +1202,266 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: TPC-H join-planning tier (Q7/Q8/Q10/Q12/Q14/Q17 shapes,
+# adapted to the synthetic schema — no partsupp table, no l_shipmode /
+# p_container columns; predicates use the columns that exist).
+# All money aggregates follow the DECIMAL(25,6)-exact _dsum/_money
+# pattern so sums are order-independent and engine-identical.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q120_tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year, rev FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+                CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(25,6))), 2) AS DOUBLE) AS rev
+         FROM supplier s
+         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY supp_nation, cust_nation, l_year) t
+       ORDER BY supp_nation, cust_nation, l_year""",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue between two nations by year.
+    The two nation-dim joins BROADCAST; the nation-pair predicate prunes
+    before the fact-fact join chain. ref test coverage model: SURVEY §5
+    (TPC-H operator corpus)."""
+    s, li = T(spark, sf, "supplier"), T(spark, sf, "lineitem")
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(_money(_dsum(rev)).alias("rev"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@declared(
+    "q121_tpch_q8",
+    """SELECT o_year,
+              ROUND(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+       FROM (
+         SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+                CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))
+                  AS volume,
+                n2.n_name AS nation
+         FROM part p
+         JOIN lineitem l ON p.p_partkey = l.l_partkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+         JOIN region r ON r.r_regionkey = n1.n_regionkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+         WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD') t
+       GROUP BY o_year ORDER BY o_year""",
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (market share): one supplier nation's share of ASIA
+    revenue by year — 8-table join; every dimension (part filter,
+    nations, region) broadcasts, the fact chain shuffles on its keys.
+    The share divides two DECIMAL-exact sums AFTER casting to double
+    (decimal÷decimal scale rules differ across engines)."""
+    p, li = T(spark, sf, "part"), T(spark, sf, "lineitem")
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    s, n = T(spark, sf, "supplier"), T(spark, sf, "nation")
+    r = T(spark, sf, "region")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    part_share = F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        p.filter(F.col("p_type") == "STANDARD")
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(part_share).cast("double") / F.sum("volume").cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@declared(
+    "q122_tpch_q10",
+    """SELECT c.c_custkey, c.c_name,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(25,6))), 2) AS DOUBLE) AS rev,
+              c.c_acctbal, n.n_name
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-04-01'
+         AND l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+       ORDER BY rev DESC, c.c_custkey LIMIT 20""",
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (returned items): top-20 customers by lost revenue in a
+    quarter. Date + returnflag predicates push to the lineitem/orders
+    scans; nation broadcasts; c_custkey tie-break makes the LIMIT
+    deterministic."""
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    li, n = T(spark, sf, "lineitem"), T(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money(_dsum(rev)).alias("rev"))
+        .select("c_custkey", "c_name", "rev", "c_acctbal", "n_name")
+        .orderBy(F.col("rev").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@declared(
+    "q123_late_shipments",
+    """SELECT o.o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              CAST(COALESCE(SUM(CASE WHEN l.l_shipdate >
+                     o.o_orderdate + INTERVAL 30 DAY THEN 1 END), 0) AS BIGINT)
+                AS n_late
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (the synthetic lineitem has no l_shipmode, so the
+    category is o_orderpriority and "late" is shipped >30 days after the
+    order date): join + conditional counts per category — one fact-fact
+    join on the order key, one small aggregate."""
+    o, li = T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.coalesce(F.sum(F.when(late, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_late"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "q124_tpch_q14",
+    """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))
+                ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+              / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(25,6))) AS DOUBLE), 4) AS promo_share
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l.l_shipdate < TIMESTAMP '1996-03-01'""",
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share): scalar aggregate over a
+    fact×dim join with a pushed date window; both sums are
+    DECIMAL-exact, the final ratio divides doubles."""
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-03-01").cast("timestamp"))
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@declared(
+    "q125_small_qty_revenue",
+    """SELECT CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6)))
+                AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#11'
+         AND l.l_quantity < (
+           SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)""",
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity orders): the correlated scalar
+    AVG subquery is expressed as its scalable rewrite — a per-part
+    aggregate joined back (exactly what Catalyst de-correlates to), so
+    the plan is two hash joins + one aggregate, never a per-row
+    subquery."""
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#11")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(avg_qty, F.col("ap_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )

@@ -94,3 +94,33 @@ def test_keep_best_quality_no_global_sort_before_filter(spark, sf_dir):
     """q113 is top-1-per-group: partitioned window, not a global sort."""
     plan = physical(spark, sf_dir, "q113_keep_best_quality")
     assert "Window" in plan
+
+
+def test_tpch_q7_broadcasts_nation_dims(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q120_tpch_q7")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8_pushes_region_filter_and_broadcasts(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q121_tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    # the ASIA filter must reach the region scan, not sit above a join
+    assert "r_name" in plan
+
+
+def test_tpch_q10_pushes_date_window_to_scan(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q122_tpch_q10")
+    # both date bounds and the returnflag filter appear as pushed filters
+    assert "PushedFilters" in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 20, no global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_small_qty_rewrite_has_no_subquery(spark, sf_dir):
+    # the correlated AVG is expressed as aggregate + join: no per-row
+    # scalar subquery node survives in the physical plan
+    plan = physical(spark, sf_dir, "q125_small_qty_revenue")
+    assert "Subquery" not in plan
+    assert "CartesianProduct" not in plan

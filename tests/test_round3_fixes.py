@@ -59,15 +59,23 @@ def test_registry_orders_unverified_first():
     )
 
     names = list(QUERIES)
-    assert names[:4] == [
+    verified = DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2
+    unverified = [n for n in names if n in ORACLE and n not in verified]
+    # the 4 rows the round-2 verdict flagged are in the leading tier
+    # (with every other not-yet-certified oracle query), i.e. inside
+    # the driver's ~50-query verification window
+    assert {
         "q96_embedding_quantize",
         "q113_keep_best_quality",
         "q114_sequence_packing",
         "q115_curation_pipeline",
-    ]
+    } <= set(unverified)
+    k = len(unverified)
+    assert k + 6 <= 50, "unverified tier must fit the driver window"
+    assert names[:k] == unverified
     rows_only = [n for n in names if n not in ORACLE]
-    assert names[4 : 4 + len(rows_only)] == rows_only
-    tail = names[4 + len(rows_only) :]
+    assert names[k : k + len(rows_only)] == rows_only
+    tail = names[k + len(rows_only) :]
     r1_pos = [i for i, n in enumerate(tail) if n in DRIVER_VERIFIED_R1]
     r2_pos = [
         i
@@ -76,7 +84,7 @@ def test_registry_orders_unverified_first():
     ]
     assert r1_pos and r2_pos and max(r1_pos) < min(r2_pos)
     # every query lands in exactly one tier
-    assert len(names) == 4 + len(rows_only) + len(r1_pos) + len(r2_pos)
+    assert len(names) == k + len(rows_only) + len(r1_pos) + len(r2_pos)
 
 
 # -- 3. grouped z-score: relational default ------------------------------
