@@ -1411,3 +1411,28 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
 
     d = T(spark, sf, "documents")
     return quality_classifier_scores(d).orderBy("doc_id")
+
+
+@declared(
+    "q128_stream_interval_join",
+    """SELECT l.user_id,
+              l.event_id AS l_event_id, r.event_id AS r_event_id,
+              l.ts AS l_ts, r.ts AS r_ts
+       FROM events l JOIN events r ON r.user_id = l.user_id
+        AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
+       ORDER BY l_event_id, r_event_id""",
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch form of the stream-stream interval join
+    (``streaming.joins.stream_stream_join``): attribution pairs within
+    a 15-minute window. The SAME transform runs as two real watermarked
+    streams in tests/test_streaming.py — the interval condition is what
+    bounds streaming state; here it's a range-predicate join the oracle
+    checks exactly."""
+    from iceberg_cache_spark.streaming.joins import stream_stream_join
+
+    e = T(spark, sf, "events")
+    left = e.filter(F.col("event_id") % 2 == 0)
+    right = e.filter(F.col("event_id") % 2 == 1)
+    return stream_stream_join(left, right).orderBy("l_event_id", "r_event_id")

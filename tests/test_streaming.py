@@ -167,3 +167,38 @@ def test_streaming_sliding_matches_batch(spark, events_dir):
     b = {(r.win_start, r.n, r.total) for r in batch.collect()}
     s = {(r.win_start, r.n, r.total) for r in streamed.collect()}
     assert b == s and len(b) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Two real streams (even/odd event ids) joined within a 15-minute
+    interval; append-mode result must equal the identical batch join."""
+    from iceberg_cache_spark.streaming.joins import stream_stream_join
+
+    schema = spark.read.parquet(events_dir).schema
+
+    def split(df):
+        return (
+            df.filter(F.col("event_id") % 2 == 0),
+            df.filter(F.col("event_id") % 2 == 1),
+        )
+
+    ls, rs = split(spark.readStream.schema(schema).parquet(events_dir))
+    q = (
+        stream_stream_join(ls, rs)
+        .writeStream.format("memory")
+        .queryName("ss_join_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ss_join_mem").collect()
+    )
+    lb, rb = split(spark.read.parquet(events_dir))
+    want = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in stream_stream_join(lb, rb).collect()
+    )
+    assert got == want and len(want) > 0
