@@ -1436,3 +1436,52 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
     left = e.filter(F.col("event_id") % 2 == 0)
     right = e.filter(F.col("event_id") % 2 == 1)
     return stream_stream_join(left, right).orderBy("l_event_id", "r_event_id")
+
+
+@declared(
+    "q129_packed_manifest",
+    f"""WITH t AS (
+         SELECT doc_id, lang, len({_DUCK_TOKS.format(c='text')}) AS n
+         FROM documents),
+       c AS (
+         SELECT doc_id, lang, n,
+                COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_before
+         FROM t)
+       SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin,
+              array_to_string(list(doc_id ORDER BY doc_id), ',') AS docs_csv
+       FROM c GROUP BY lang, bin ORDER BY lang, bin""",
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    """The packing MANIFEST: q114 assigns docs to context bins; this
+    emits each bin's ordered document list — what a training job
+    actually consumes to build packed sequences. The list is sorted
+    in-plan (``array_sort``; ``collect_list`` order is partition-
+    dependent) and emitted CSV so the driver canonicalizer handles it
+    (q96 lesson)."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf, "documents")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("n", X.token_count(F.col("text")))
+        .withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .select(
+            "lang",
+            F.expr("cum_before div 2048").cast("bigint").alias("bin"),
+            "doc_id",
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("doc_id")).cast("array<string>"),
+                ",",
+            ).alias("docs_csv")
+        )
+        .orderBy("lang", "bin")
+    )

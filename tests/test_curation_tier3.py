@@ -152,3 +152,53 @@ def test_domain_reweight_never_upsamples(spark):
     for r in domain_reweight(df).collect():
         assert r.permille <= 1000
         assert r.kept_docs <= 10
+
+
+# -- connected components: property test vs union-find --------------------
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then label = min member of the set
+    roots: dict[int, list[int]] = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(members) for r, members in roots.items() for n in members}
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=st.lists(edge, min_size=1, max_size=25))
+    def check(edges):
+        from iceberg_cache_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = {r.id: r.cid for r in connected_components(pairs).collect()}
+        assert got == _union_find_components(edges)
+
+    check()

@@ -124,3 +124,18 @@ def test_small_qty_rewrite_has_no_subquery(spark, sf_dir):
     plan = physical(spark, sf_dir, "q125_small_qty_revenue")
     assert "Subquery" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_domain_reweight_broadcasts_rates(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q119_domain_reweight")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_not_cartesian(spark, sf_dir):
+    # equi-key + range predicate: must plan as a hash join with the
+    # range as a post-filter, never a cartesian / nested-loop over all
+    # pairs
+    plan = physical(spark, sf_dir, "q128_stream_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
