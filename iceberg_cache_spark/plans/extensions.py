@@ -1485,3 +1485,111 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+@declared(
+    "q130_funnel",
+    """WITH v AS (
+         SELECT user_id, MIN(ts) AS t_view FROM events
+         WHERE event_type = 'view' GROUP BY user_id),
+       c AS (
+         SELECT e.user_id, MIN(e.ts) AS t_click
+         FROM events e JOIN v ON v.user_id = e.user_id
+         WHERE e.event_type = 'click' AND e.ts > v.t_view
+           AND e.ts <= v.t_view + INTERVAL 24 HOUR
+         GROUP BY e.user_id),
+       p AS (
+         SELECT e.user_id, MIN(e.ts) AS t_purchase
+         FROM events e JOIN c ON c.user_id = e.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+           AND e.ts <= c.t_click + INTERVAL 24 HOUR
+         GROUP BY e.user_id)
+       SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+              CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+              CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase""",
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel analysis (view → click within 24h → purchase within 24h):
+    each stage is one filtered aggregate joined to the previous stage's
+    per-user anchor time — stage joins shuffle on user_id, the natural
+    even key; no window over the full event stream, no self-join
+    explosion."""
+    e = T(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in [(v, "n_view"), (c, "n_click"), (p, "n_purchase")]
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@declared(
+    "q131_retention_cohorts",
+    """WITH s AS (
+         SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+         FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       a AS (
+         SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS wk
+         FROM events e),
+       j AS (
+         SELECT s.cohort,
+                CAST((CAST(a.wk AS DATE) - CAST(s.cohort AS DATE)) // 7
+                     AS BIGINT) AS week_n,
+                a.user_id
+         FROM s JOIN a ON a.user_id = s.user_id
+         WHERE a.wk >= s.cohort)
+       SELECT cohort, week_n, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM j GROUP BY cohort, week_n ORDER BY cohort, week_n""",
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by ISO signup week, counted as
+    retained in each later week they show ANY activity. Two aggregates
+    + one user-keyed join; weeks are integer day-arithmetic on
+    week-truncated dates so both engines bucket identically."""
+    e = T(spark, sf, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort"))
+    )
+    a = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        s.join(a, "user_id")
+        .filter(F.col("wk") >= F.col("cohort"))
+        .select(
+            "cohort",
+            F.expr(
+                "CAST(datediff(CAST(wk AS DATE), CAST(cohort AS DATE)) div 7 AS BIGINT)"
+            ).alias("week_n"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_n")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort", "week_n")
+    )
