@@ -260,11 +260,20 @@ def ngram_jaccard_pairs(
     # shuffle carries fixed-width keys (64-bit collision odds ~1e-8 at
     # 100M distinct grams — negligible vs. the bandwidth saved)
     # explode_outer + null-filter: see minhash_signatures comment
+    #
+    # localCheckpoint: the gram-posting list feeds FIVE consumers
+    # (dfreq, the df-cap join, sizes, both self-join sides); without
+    # materialization Catalyst re-tokenizes and re-shingles the corpus
+    # once per consumer (~20 scans, zero ReusedExchange in the audited
+    # plan). One materialized posting list is the inverted index a
+    # dedicated engine would build anyway; on a cluster swap for
+    # persist(MEMORY_AND_DISK) + checkpoint for fault tolerance.
     grams = (
         with_shingles(df, text_col, n)
         .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("g"))
         .filter(F.col("g").isNotNull())
         .select(id_col, F.xxhash64("g").alias("gh"))
+        .localCheckpoint()
     )
     gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
     kept = grams.join(gram_df.filter(F.col("dfreq") <= max_doc_freq), "gh").select(
@@ -318,12 +327,18 @@ def ngram_jaccard_pairs_ppjoin(
     The threshold is a rational (num/den) and all prefix arithmetic is
     integer — a float ⌈t·sz⌉ can round up past the true value and
     silently drop qualifying pairs.
+
+    The posting list is localCheckpoint-materialized once: it feeds six
+    consumers (dfreq, rank, sizes, both verify sides) and an
+    unmaterialized plan re-tokenizes the corpus per consumer (audited:
+    ~20 scans, no ReusedExchange). See ngram_jaccard_pairs.
     """
     grams = (
         with_shingles(df, text_col, n)
         .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("g"))
         .filter(F.col("g").isNotNull())
         .select(id_col, F.xxhash64("g").alias("gh"))
+        .localCheckpoint()
     )
     gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
     ranked = grams.join(gram_df, "gh").withColumn(
