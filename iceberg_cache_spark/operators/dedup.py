@@ -140,9 +140,16 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a, id_b, est_jaccard) above threshold."""
+    """Near-duplicate pairs (id_a, id_b, est_jaccard) above threshold.
+
+    The signature table is materialized once (localCheckpoint): it
+    feeds banding plus both verify sides, and an unmaterialized plan
+    recomputes the 64-minhash aggregation — the dominant cost — per
+    consumer (4 corpus passes in the audited plan)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint()
     cand = lsh_candidate_pairs(sig, id_col, bands, rows)
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -196,8 +203,11 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` (≤ 4 chunks ⇒ any
-    pair at distance ≤3 collides on at least one 16-bit chunk)."""
-    sim = simhash64(df, id_col, text_col)
+    pair at distance ≤3 collides on at least one 16-bit chunk).
+
+    Signatures materialize once (both self-join sides re-derive from
+    the same 64-bit-sum aggregate — the dominant cost)."""
+    sim = simhash64(df, id_col, text_col).localCheckpoint()
     chunks = sim.select(
         F.col(id_col),
         F.col("simhash"),
