@@ -139,3 +139,51 @@ def test_interval_join_is_not_cartesian(spark, sf_dir):
     plan = physical(spark, sf_dir, "q128_stream_interval_join")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tpch_q2_correlated_min_is_window_not_subquery(spark, sf_dir):
+    # the correlated MIN(s_acctbal) runs as one window over p_partkey —
+    # no per-row scalar subquery, no cartesian
+    plan = physical(spark, sf_dir, "q132_tpch_q2")
+    assert "Window" in plan
+    assert "Subquery" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q4_exists_is_semi_join(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q133_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_pushes_every_predicate(spark, sf_dir):
+    # pure scan+agg: date bounds, discount range, quantity all reach
+    # the parquet scan; no join, no exchange beyond the 1-row combine
+    plan = physical(spark, sf_dir, "q134_tpch_q6")
+    assert "PushedFilters" in plan
+    assert "Join" not in plan
+
+
+def test_tpch_q16_not_in_is_anti_join(spark, sf_dir):
+    plan = physical(spark, sf_dir, "q139_tpch_q16")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_semi_anti_pair(spark, sf_dir):
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, all hash joins on the
+    # order key (supplier inequality is a residual, not a loop)
+    plan = physical(spark, sf_dir, "q143_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q22_threshold_broadcasts(spark, sf_dir):
+    # the 1-row threshold aggregate broadcasts; the NOT EXISTS is a
+    # LeftAnti with the date filter pushed to the orders scan
+    plan = physical(spark, sf_dir, "q144_tpch_q22")
+    assert "BroadcastExchange" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
