@@ -1,0 +1,225 @@
+"""Training-data pipeline tier, continued: passage-level exact dedup,
+mergeable-sketch cardinality, and multi-column Z-order clustering.
+
+These extend the curation tier (extensions.py q107–q119) with three
+operations a 100 TB corpus pipeline needs that no earlier query covers:
+
+- q145: RefinedWeb-style duplicated-passage removal, adapted to the
+  synthetic single-line documents as fixed 10-word chunk dedup — keep a
+  chunk only in the lowest-doc_id document that contains it, reassemble
+  the surviving text. (The public technique is line-level exact dedup;
+  the unit here is a token chunk because the synthetic corpus has no
+  newlines.)
+- q146: HyperLogLog sketch cardinality (pyspark's Datasketches-backed
+  hll_sketch_agg) — the mergeable form of COUNT(DISTINCT): per-group
+  sketches union into a global sketch WITHOUT rescanning, which is what
+  makes per-shard/per-day cardinality rollups feasible at 100 TB.
+  Estimates are engine-specific, so this is rows-only by design; the
+  error bound and merge-consistency are pytest-asserted
+  (tests/test_datapipe.py).
+- q147: Z-order (Morton) clustering — interleave the bits of two
+  bucketized columns so range predicates on EITHER column prune files.
+  The query computes the exact integer z-values both engines agree on;
+  the companion operator `operators.zorder.zorder_write` actually lays
+  files out by z-range (plan- and pruning-tested).
+
+ref parity: the reference has no passage dedup / sketches / clustering;
+these are the scale-path additions SURVEY §2 calls for beyond ref ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.plans.registry import declared
+from iceberg_cache_spark.sources.testdata import load_table as T
+
+CHUNK = 10  # words per dedup unit
+
+
+@declared(
+    "q145_chunk_dedup",
+    f"""WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       chunks AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                array_to_string(w[(i*{CHUNK}+1):(i*{CHUNK}+{CHUNK})], ' ')
+                  AS chunk
+         FROM toks,
+              UNNEST(range(CAST(ceil(len(w)/{CHUNK}.0) AS INT))) AS t(i)),
+       firsts AS (
+         SELECT chunk AS fchunk, MIN(doc_id) AS first_doc
+         FROM chunks GROUP BY chunk)
+       SELECT c.doc_id,
+              CAST(COUNT(*) FILTER (WHERE f.first_doc = c.doc_id)
+                   AS BIGINT) AS n_kept,
+              CAST(COUNT(*) FILTER (WHERE f.first_doc < c.doc_id)
+                   AS BIGINT) AS n_dropped,
+              md5(COALESCE(string_agg(c.chunk, ' ' ORDER BY c.pos)
+                    FILTER (WHERE f.first_doc = c.doc_id), ''))
+                AS clean_md5
+       FROM chunks c JOIN firsts f ON f.fchunk = c.chunk
+       GROUP BY c.doc_id
+       ORDER BY c.doc_id""",
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-passage removal (RefinedWeb line-dedup, chunk-unit):
+    split each doc into 10-word chunks, keep a chunk only in the first
+    (min doc_id) document containing it, emit per-doc kept/dropped
+    counts and an md5 of the reassembled text.
+
+    Scale shape: chunk→first-doc is a map-side-combinable hash
+    aggregate JOINED back (not a window — no per-chunk sort), then one
+    groupBy doc_id; two shuffles total, both on high-cardinality keys.
+    At 100 TB the join key would be xxhash64(chunk) (8 bytes instead of
+    the string; collisions only merge identical-hash chunks, same as
+    every published line-dedup pipeline); the oracle keeps the exact
+    string so the gate is collision-free."""
+    d = T(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / CHUNK).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * CHUNK + 1, CHUNK), " "),
+            )
+        ).alias("pos", "chunk"),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "chunk")
+    firsts = chunks.groupBy(F.col("chunk").alias("fchunk")).agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    keep = F.col("first_doc") == F.col("doc_id")
+    kept_struct = F.when(keep, F.struct("pos", "chunk"))
+    return (
+        chunks.join(firsts, F.col("fchunk") == F.col("chunk"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.count(F.when(~keep, 1)).alias("n_dropped"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(kept_struct)),
+                            lambda s: s.chunk,
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared("q146_hll_cardinality")  # rows-only: sketch estimates are
+# engine-specific (Datasketches HLL vs DuckDB's); error bound and
+# merge-consistency asserted in tests/test_datapipe.py
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches: distinct users per event type
+    via HLL sketch aggregate, plus an 'ALL' row produced by UNIONING
+    the per-type sketches — no second scan. This is the 100 TB shape
+    for cardinality rollups: per-partition/day/shard sketches persist
+    as bytes and any slice union answers in O(sketch) time (exact
+    COUNT DISTINCT would re-shuffle the raw keys per rollup level)."""
+    e = T(spark, sf, "events")
+    sk = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per = sk.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("u").alias("approx_users"),
+    )
+    return per.unionAll(merged).orderBy("event_type")
+
+
+_ZBITS = 8  # bits per dimension -> 16-bit morton codes
+
+
+def _interleave(a: F.Column, b: F.Column) -> F.Column:
+    """Morton-interleave two _ZBITS-bit ints: a's bit k lands at 2k+1,
+    b's at 2k. Pure integer expressions — whole-stage codegen, and
+    bit-identical in any engine."""
+    z = F.lit(0)
+    for k in range(_ZBITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, k) % 2, 2 * k + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, k) % 2, 2 * k))
+    return z
+
+
+def _zsql(acol: str, bcol: str) -> str:
+    terms = []
+    for k in range(_ZBITS):
+        terms.append(f"((({acol} >> {k}) % 2) << {2 * k + 1})")
+        terms.append(f"((({bcol} >> {k}) % 2) << {2 * k})")
+    return " | ".join(terms)
+
+
+@declared(
+    "q147_zorder_layout",
+    f"""WITH bounds AS (
+         SELECT MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax,
+                MIN(l_extendedprice) AS pmin, MAX(l_extendedprice) AS pmax
+         FROM lineitem),
+       coded AS (
+         SELECT CAST(FLOOR((l_quantity - qmin) * 255.0 / (qmax - qmin))
+                     AS INT) AS qb,
+                CAST(FLOOR((l_extendedprice - pmin) * 255.0
+                           / (pmax - pmin)) AS INT) AS pb,
+                l_quantity, l_extendedprice
+         FROM lineitem, bounds)
+       SELECT ({_zsql('qb', 'pb')}) >> 10 AS zbucket,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+              MIN(l_extendedprice) AS min_price,
+              MAX(l_extendedprice) AS max_price
+       FROM coded
+       GROUP BY zbucket
+       ORDER BY zbucket""",
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout statistics: bucketize (l_quantity,
+    l_extendedprice) to 8 bits each from exact min/max bounds,
+    Morton-interleave to a 16-bit z-value, and report per-z-range
+    row counts and column min/max — the zone-map ranges a z-clustered
+    file layout would expose. Every z-bucket bounds BOTH columns, which
+    is the point of Z-order vs single-column sort. The bounds aggregate
+    is a 1-row broadcast; the rest is scan-local integer math +
+    one hash aggregate. `operators.zorder.zorder_write` applies the
+    same code as a physical file layout."""
+    li = T(spark, sf, "lineitem")
+    b = li.agg(
+        F.min("l_quantity").alias("qmin"),
+        F.max("l_quantity").alias("qmax"),
+        F.min("l_extendedprice").alias("pmin"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+    qb = F.floor(
+        (F.col("l_quantity") - F.col("qmin")) * 255.0 / (F.col("qmax") - F.col("qmin"))
+    ).cast("int")
+    pb = F.floor(
+        (F.col("l_extendedprice") - F.col("pmin"))
+        * 255.0
+        / (F.col("pmax") - F.col("pmin"))
+    ).cast("int")
+    return (
+        li.join(F.broadcast(b))
+        .select(
+            _interleave(qb, pb).alias("z"), "l_quantity", "l_extendedprice"
+        )
+        .groupBy(F.shiftright(F.col("z"), 10).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("zbucket")
+    )

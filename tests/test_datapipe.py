@@ -1,0 +1,148 @@
+"""Tests for the q145–q147 pipeline tier: chunk dedup semantics, HLL
+sketch error/merge bounds, and Z-order clustering actually pruning."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.operators.zorder import (
+    file_ranges,
+    zorder_code,
+    zorder_write,
+)
+from iceberg_cache_spark.plans import QUERIES
+from iceberg_cache_spark.sources.testdata import load_table
+
+
+def test_chunk_dedup_drops_only_repeats(spark, sf_dir):
+    """Planted check: two docs sharing a 10-word span — the later doc
+    loses exactly the shared chunks, the earlier keeps everything."""
+    shared = " ".join(["tok%d" % i for i in range(10)])
+    uniq_a = " ".join(["aaa%d" % i for i in range(10)])
+    uniq_b = " ".join(["bbb%d" % i for i in range(10)])
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + uniq_a),
+            (2, shared + " " + uniq_b),
+            (3, uniq_b),  # duplicates doc 2's second chunk
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("__chunk_probe")
+    # run the same plan q145 uses, against the probe frame
+    import iceberg_cache_spark.plans.datapipe as dp
+
+    orig = load_table
+    try:
+        dp.T = lambda spark, sf, name: df  # probe stand-in
+        out = {r["doc_id"]: r for r in QUERIES["q145_chunk_dedup"](spark, sf_dir).collect()}
+    finally:
+        dp.T = orig
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 0
+    assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 1
+    assert out[3]["n_kept"] == 0 and out[3]["n_dropped"] == 1
+    # doc 3 reassembles to empty text
+    emptymd5 = spark.sql("SELECT md5('') m").collect()[0]["m"]
+    assert out[3]["clean_md5"] == emptymd5
+
+
+def test_hll_estimates_close_and_merge_consistent(spark, sf_dir):
+    rows = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["q146_hll_cardinality"](spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = e.select("user_id").distinct().count()
+    for k, est in rows.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+    # merge consistency: union of per-type sketches ~= one global sketch
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).collect()[0]["n"]
+    assert abs(rows["ALL"] - direct) / direct < 0.01
+
+
+def test_zorder_bounds_both_columns():
+    # 16 bits, 2 dims: both column codes round-trip from the z-value
+    from iceberg_cache_spark.operators.zorder import morton_code
+
+    from iceberg_cache_spark.session import get_spark
+
+    spark = get_spark(app_name="iceberg_cache_spark_tests")
+    df = spark.range(256 * 256).select(
+        (F.col("id") / 256).cast("int").alias("a"),
+        (F.col("id") % 256).cast("int").alias("b"),
+    )
+    z = df.select("a", "b", morton_code([F.col("a"), F.col("b")]).alias("z"))
+    # z is a bijection on 16 bits
+    assert z.select("z").distinct().count() == 256 * 256
+    assert z.agg(F.max("z")).collect()[0][0] == 2**16 - 1
+
+
+def test_zorder_write_prunes_on_both_columns(spark, sf_dir):
+    """The measurable claim of Z-order: after clustering on
+    (l_quantity, l_extendedprice), a narrow range predicate on EITHER
+    column overlaps only a fraction of the files' [min,max] zone maps;
+    a quantity-sorted layout prunes on quantity but NOT on price."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="zorder_test_")
+    try:
+        zorder_write(li, ["l_quantity", "l_extendedprice"], tmp + "/z", n_files=16)
+        (
+            li.repartitionByRange(16, "l_quantity")
+            .sortWithinPartitions("l_quantity")
+            .write.mode("overwrite")
+            .parquet(tmp + "/q")
+        )
+
+        def overlap_frac(path, col, lo, hi):
+            ranges = file_ranges(spark, path, ["l_quantity", "l_extendedprice"])
+            n = sum(
+                1
+                for r in ranges
+                if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+            )
+            return n / len(ranges)
+
+        pmin, pmax = li.agg(
+            F.min("l_extendedprice"), F.max("l_extendedprice")
+        ).collect()[0]
+        width = (pmax - pmin) / 16
+        # price slice: z-order must prune, quantity-sort cannot
+        z_price = overlap_frac(tmp + "/z", "l_extendedprice", pmin, pmin + width)
+        q_price = overlap_frac(tmp + "/q", "l_extendedprice", pmin, pmin + width)
+        assert z_price <= 0.5, z_price
+        assert q_price > 0.9, q_price
+        # quantity slice: z-order still prunes meaningfully
+        z_qty = overlap_frac(tmp + "/z", "l_quantity", 1.0, 4.0)
+        assert z_qty <= 0.5, z_qty
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_zorder_code_plan_is_scan_local(spark, sf_dir):
+    # the data path is scan + codegen integer math: no window, no data
+    # shuffle; the only exchanges are the 1-row bounds aggregate (its
+    # SinglePartition combine is O(1)) and its broadcast back
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = (
+        zorder_code(li, ["l_quantity", "l_extendedprice"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
