@@ -8,10 +8,15 @@ SURVEY.md §4.3). At 100 TB the scan parallelism is Spark tasks over
 file splits; nothing here materializes on the driver.
 
 Canonicalization applied on load (FIXTURES.md rules):
-- ``events.ts`` is parquet ``timestamp[ns]``; Spark cannot represent
-  ns, so it is read as raw int64 (``nanosAsLong``) and truncated to a
-  microsecond timestamp with integer arithmetic (``div 1000`` — no
-  double round-trip, which would lose precision on 1.7e18 ns values).
+- ``events.ts`` normalizes to ``TIMESTAMP_NTZ`` whatever the fixture
+  generation wrote. Early fixture drops stored parquet
+  ``timestamp[ns]`` — Spark cannot represent ns, so it arrives as raw
+  int64 (``nanosAsLong``) and is truncated to microseconds with
+  integer arithmetic (``div 1000`` — no double round-trip, which would
+  lose precision on 1.7e18 ns values). Round-3 fixtures store
+  ``timestamp[us]`` directly, which Spark reads as a native timestamp;
+  only the NTZ cast applies. The branch is on the READ type, so both
+  generations load identically.
 """
 
 from __future__ import annotations
@@ -53,15 +58,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
-        # int64 ns -> microsecond timestamp; integer div keeps full
-        # precision (a double round-trip would lose ~hundreds of ns on
-        # 1.7e18 values). Cast to TIMESTAMP_NTZ (session is pinned UTC):
-        # the other tables' parquet timestamps are not UTC-adjusted and
-        # already read as NTZ, and naive values compare cleanly with the
-        # DuckDB oracle, which has no timezone annotation at all.
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        # Normalize ts to TIMESTAMP_NTZ (session is pinned UTC): naive
+        # values compare cleanly with the DuckDB oracle, which has no
+        # timezone annotation at all. Fixture generations differ — see
+        # the module docstring — so branch on the type Spark read.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # int64 ns (nanosAsLong) -> microsecond timestamp; integer
+            # div keeps full precision (a double round-trip would lose
+            # ~hundreds of ns on 1.7e18 values).
+            df = df.withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            )
+        elif ts_type != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     _df_cache[key] = df
     return df
 
