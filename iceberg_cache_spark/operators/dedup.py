@@ -418,6 +418,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components of the (undirected) duplicate-pair graph via
     iterative min-label propagation: ``(id, cluster_id)`` with
@@ -441,7 +442,20 @@ def connected_components(
     upstream pair emitters are typically the most expensive plan in the
     job (inverted-index joins), and a lazy edge list would re-run that
     plan inside every iteration of the loop.
+
+    Non-convergence is LOUD, never silent: min-label propagation moves
+    a label one hop per iteration, so a component whose diameter
+    exceeds ``max_iter`` (a >20-hop chain of near-dups — pathological
+    but constructible) would otherwise return labels that are not the
+    transitive closure, i.e. a silently wrong answer. If the loop
+    exhausts ``max_iter`` while labels are still changing:
+    ``on_nonconverged="raise"`` (default) raises RuntimeError telling
+    the caller to raise ``max_iter``; ``"flag"`` returns the partial
+    labels with a literal ``converged=false`` column so a pipeline can
+    route them to a retry pass instead of dying mid-job.
     """
+    if on_nonconverged not in ("raise", "flag"):
+        raise ValueError(f"on_nonconverged must be 'raise' or 'flag', got {on_nonconverged!r}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(
@@ -454,6 +468,7 @@ def connected_components(
         .distinct()
         .withColumn("cid", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "cid"
@@ -473,7 +488,20 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        if on_nonconverged == "raise":
+            raise RuntimeError(
+                f"connected_components did not converge within max_iter={max_iter} "
+                "iterations: a component's diameter exceeds the iteration budget and "
+                "the returned labels would NOT be the transitive closure. "
+                "Raise max_iter (each iteration floods labels one hop) or pass "
+                "on_nonconverged='flag' to receive partial labels with converged=false."
+            )
+        return labels.withColumn("converged", F.lit(False))
+    if on_nonconverged == "flag":
+        return labels.withColumn("converged", F.lit(True))
     return labels
 
 

@@ -10,14 +10,15 @@ registry iteration order each round and stops. The registry is ordered
 so that, across rounds, every query accumulates a driver CORRECTNESS
 row, freshest-evidence-last:
 
-1. oracle-matched queries with **no** driver row yet
-   (round 3: q96 — r2 row was a harness ERR, now fixed — plus
-   q113/q114/q115, added after round 2's verification window),
-2. rows-only queries (6 — LSH/approx operators without oracle SQL;
-   the driver records the weaker rows-only check),
-3. already-certified queries, OLDEST driver evidence first (round-1-
-   verified before round-2-verified), so code churn since a query's
-   last certification is re-checked soonest.
+1. oracle-matched queries with **no** driver row yet (round 4: any
+   newly added operators),
+2. already-certified queries, OLDEST driver evidence first: the 42
+   round-1-verified names whose last driver row predates two rounds of
+   shared-operator churn (q01–q06/q10/q11 were re-certified green in
+   round 3 and drop to the back), then round-2-verified names,
+3. rows-only queries (9 — LSH/approx/ML operators without oracle SQL;
+   all got a fresh rows-only row in round 3),
+4. round-3-certified queries, freshest evidence last.
 
 This ordering is a coverage protocol, not sampling-steering: the FULL
 corpus is locally verified with the driver's exact canonicalization
@@ -80,15 +81,40 @@ DRIVER_VERIFIED_R2 = frozenset(
 )
 
 
+# Names the round-3 driver hash-verified green (CORRECTNESS_r03.json) —
+# includes the q01–q11 re-certifications, which therefore now carry the
+# FRESHEST evidence and sort behind the stale r1/r2 tiers.
+DRIVER_VERIFIED_R3 = frozenset(
+    {
+        "q120_tpch_q7", "q121_tpch_q8", "q122_tpch_q10",
+        "q123_late_shipments", "q124_tpch_q14", "q125_small_qty_revenue",
+        "q96_embedding_quantize", "q113_keep_best_quality",
+        "q114_sequence_packing", "q115_curation_pipeline",
+        "q116_dedup_clusters", "q117_gopher_rules", "q118_boilerplate_grams",
+        "q119_domain_reweight", "q128_stream_interval_join",
+        "q129_packed_manifest", "q130_funnel", "q131_retention_cohorts",
+        "q132_tpch_q2", "q133_tpch_q4", "q134_tpch_q6", "q135_tpch_q9",
+        "q136_tpch_q11", "q137_tpch_q13", "q138_tpch_q15", "q139_tpch_q16",
+        "q140_tpch_q18", "q141_tpch_q19", "q142_tpch_q20", "q143_tpch_q21",
+        "q144_tpch_q22", "q145_chunk_dedup", "q147_zorder_layout",
+        "q01_projection", "q02_filter", "q03_between_like", "q04_case_when",
+        "q05_cast_coalesce", "q06_distinct", "q10_inner_join", "q11_left_join",
+    }
+)
+
+
 def _priority(name: str) -> tuple[int, int]:
     order = list(QUERIES).index(name)
-    if name in ORACLE and name not in DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2:
-        return (0, order)
-    if name not in ORACLE:
-        return (1, order)
-    if name in DRIVER_VERIFIED_R1:
+    certified = DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2 | DRIVER_VERIFIED_R3
+    if name in ORACLE and name not in certified:
+        return (0, order)  # new this round: needs a first driver row
+    if name in ORACLE and name in DRIVER_VERIFIED_R1 and name not in DRIVER_VERIFIED_R3:
+        return (1, order)  # stalest evidence: r1-certified, churned since
+    if name in ORACLE and name in DRIVER_VERIFIED_R2 and name not in DRIVER_VERIFIED_R3:
         return (2, order)
-    return (3, order)
+    if name not in ORACLE:
+        return (3, order)  # rows-only; all re-recorded in r3
+    return (4, order)  # r3-fresh
 
 
 def _reorder() -> None:
@@ -109,4 +135,5 @@ __all__ = [
     "declared",
     "DRIVER_VERIFIED_R1",
     "DRIVER_VERIFIED_R2",
+    "DRIVER_VERIFIED_R3",
 ]

@@ -58,6 +58,39 @@ def test_components_empty_pairs(spark):
     assert connected_components(pairs).count() == 0
 
 
+def test_components_nonconvergence_raises(spark):
+    # 26-node path (diameter 25 > default max_iter budget of 5 here):
+    # exhausting the budget must be LOUD, not a silently-partial closure.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=5)
+
+
+def test_components_nonconvergence_flag_mode(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], ["id_a", "id_b"]
+    )
+    rows = connected_components(pairs, max_iter=5, on_nonconverged="flag").collect()
+    assert all(r.converged is False for r in rows)
+    # with enough iterations the same graph converges and flags true
+    rows = connected_components(pairs, max_iter=30, on_nonconverged="flag").collect()
+    assert all(r.converged is True for r in rows)
+    assert {r.cid for r in rows} == {0}
+
+
+def test_components_long_path_converges_with_budget(spark):
+    # the >20-hop shape from the round-3 verdict: default budget is NOT
+    # enough for a 25-hop path, but an explicit max_iter closes it.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], ["id_a", "id_b"]
+    )
+    rows = connected_components(pairs, max_iter=30).collect()
+    assert {r.cid for r in rows} == {0}
+    assert len(rows) == 26
+
+
 # -- gopher metrics -------------------------------------------------------
 
 
