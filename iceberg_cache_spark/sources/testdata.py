@@ -71,8 +71,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
             )
-        elif ts_type != "timestamp_ntz":
+        elif ts_type == "timestamp":
+            # native timestamp[us] fixture read as LTZ; session is UTC
+            # so the NTZ cast is a pure annotation change.
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        elif ts_type != "timestamp_ntz":
+            # Any other dtype is a fixture-schema regression; casting
+            # would coerce to nulls silently. Fail loudly instead.
+            raise ValueError(
+                f"events.ts has unexpected parquet type {ts_type!r}; "
+                "known fixture generations are int64-ns (nanosAsLong), "
+                "timestamp[us] (LTZ), and timestamp_ntz"
+            )
     _df_cache[key] = df
     return df
 

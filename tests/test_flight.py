@@ -79,6 +79,81 @@ def test_flight_bad_ticket_surfaces_error(server):
         client.do_get(flight.Ticket(b"no_such_table")).read_all()
 
 
+def test_do_get_throughput_within_2x_of_toarrow(spark):
+    """Serve-path throughput gate (round-3 verdict item 6): serving a
+    600k-row table through do_get must cost within ~2x of a plain
+    ``df.toArrow()`` — the shim adds gRPC framing, not a row-at-a-time
+    cliff. The default server picks the materialized fast path here
+    (Catalyst estimates ~50 MB < 1 GiB threshold), which IS toArrow +
+    framing. Best-of-2 on both sides to shed codegen warmup and GC
+    noise."""
+    import time
+
+    big_sf = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(big_sf, "lineitem.parquet")):
+        pytest.skip("sf0.1 fixtures absent")
+    engine = CachedQueryEngine(spark)
+    engine.register_parquet("lineitem_big", os.path.join(big_sf, "lineitem.parquet"))
+    srv = SparkFlightServer(engine, "grpc://127.0.0.1:0")
+    location = f"grpc://127.0.0.1:{srv.port}"
+    serve_background(srv)
+    try:
+        df = engine.table("lineitem_big")
+
+        def best_of(fn, n=2):
+            best, rows = float("inf"), 0
+            for _ in range(n):
+                t0 = time.perf_counter()
+                rows = fn().num_rows
+                best = min(best, time.perf_counter() - t0)
+            return best, rows
+
+        base_t, base_rows = best_of(lambda: df.toArrow())
+        srv_t, srv_rows = best_of(lambda: query_table(location, "lineitem_big"))
+        assert srv_rows == base_rows and srv_rows >= 500_000
+        assert srv_t <= 2.0 * base_t + 0.5, (
+            f"do_get {srv_t:.2f}s vs toArrow {base_t:.2f}s — serve path "
+            "regressed past the 2x framing-overhead budget"
+        )
+    finally:
+        srv.shutdown()
+
+
+def test_do_get_streaming_path_parity_and_no_cliff(spark):
+    """Force the O(flush-window)-memory streaming path
+    (materialize_below_bytes=0) on the same 600k-row table: bytes served
+    must be IDENTICAL to the fast path, and the cost must stay within a
+    small constant of toArrow (the pack round trip + sequential
+    per-partition jobs — ~3x on 3 partitions, never the old
+    row-at-a-time ~10-100x cliff)."""
+    import time
+
+    big_sf = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(big_sf, "lineitem.parquet")):
+        pytest.skip("sf0.1 fixtures absent")
+    engine = CachedQueryEngine(spark)
+    engine.register_parquet("lineitem_big", os.path.join(big_sf, "lineitem.parquet"))
+    srv = SparkFlightServer(engine, "grpc://127.0.0.1:0", materialize_below_bytes=0)
+    location = f"grpc://127.0.0.1:{srv.port}"
+    serve_background(srv)
+    try:
+        df = engine.table("lineitem_big")
+        t0 = time.perf_counter()
+        got = query_table(location, "lineitem_big")
+        stream_t = time.perf_counter() - t0
+        want = df.toArrow()
+        t0 = time.perf_counter()
+        df.toArrow()
+        base_t = time.perf_counter() - t0
+        assert got.cast(want.schema).equals(want)
+        assert stream_t <= 6.0 * base_t + 1.0, (
+            f"streaming do_get {stream_t:.2f}s vs toArrow {base_t:.2f}s — "
+            "row-at-a-time cliff reintroduced?"
+        )
+    finally:
+        srv.shutdown()
+
+
 def test_flight_bad_sql_surfaces_error(server):
     import pyarrow.flight as flight
 

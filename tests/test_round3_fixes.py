@@ -50,41 +50,58 @@ def test_q96_emits_only_scalar_columns(spark, sf_dir):
 # -- 2. registry rotation ------------------------------------------------
 
 
-def test_registry_orders_unverified_first():
+def test_registry_orders_stalest_evidence_first():
+    """Round-4 protocol: every corpus query now has a driver row, so the
+    leading tier is the STALEST evidence — round-1-certified queries not
+    re-certified since (two rounds of shared-operator churn) — followed
+    by stale r2, rows-only (all re-recorded r3), then r3-fresh."""
     from iceberg_cache_spark.plans import (
         DRIVER_VERIFIED_R1,
         DRIVER_VERIFIED_R2,
+        DRIVER_VERIFIED_R3,
         ORACLE,
         QUERIES,
     )
 
     names = list(QUERIES)
-    verified = DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2
-    unverified = [n for n in names if n in ORACLE and n not in verified]
-    # the 4 rows the round-2 verdict flagged are in the leading tier
-    # (with every other not-yet-certified oracle query), i.e. inside
-    # the driver's ~50-query verification window
-    assert {
-        "q96_embedding_quantize",
-        "q113_keep_best_quality",
-        "q114_sequence_packing",
-        "q115_curation_pipeline",
-    } <= set(unverified)
-    k = len(unverified)
-    assert k + 6 <= 50, "unverified tier must fit the driver window"
-    assert names[:k] == unverified
-    rows_only = [n for n in names if n not in ORACLE]
-    assert names[k : k + len(rows_only)] == rows_only
-    tail = names[k + len(rows_only) :]
-    r1_pos = [i for i, n in enumerate(tail) if n in DRIVER_VERIFIED_R1]
-    r2_pos = [
-        i
-        for i, n in enumerate(tail)
-        if n in DRIVER_VERIFIED_R2 - DRIVER_VERIFIED_R1
+    new_unverified = [
+        n
+        for n in names
+        if n in ORACLE
+        and n not in DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2 | DRIVER_VERIFIED_R3
     ]
-    assert r1_pos and r2_pos and max(r1_pos) < min(r2_pos)
-    # every query lands in exactly one tier
-    assert len(names) == k + len(rows_only) + len(r1_pos) + len(r2_pos)
+    r1_stale = [
+        n for n in names if n in DRIVER_VERIFIED_R1 and n not in DRIVER_VERIFIED_R3
+    ]
+    r2_stale = [
+        n
+        for n in names
+        if n in DRIVER_VERIFIED_R2 - DRIVER_VERIFIED_R1
+        and n not in DRIVER_VERIFIED_R3
+    ]
+    rows_only = [n for n in names if n not in ORACLE]
+    fresh = [
+        n for n in names if n in DRIVER_VERIFIED_R3 and n in ORACLE
+    ]
+    # tiers are contiguous and in staleness order
+    k0, k1, k2, k3 = (
+        len(new_unverified),
+        len(r1_stale),
+        len(r2_stale),
+        len(rows_only),
+    )
+    assert names[:k0] == new_unverified
+    assert names[k0 : k0 + k1] == r1_stale
+    assert names[k0 + k1 : k0 + k1 + k2] == r2_stale
+    assert names[k0 + k1 + k2 : k0 + k1 + k2 + k3] == rows_only
+    assert names[k0 + k1 + k2 + k3 :] == fresh
+    assert len(names) == k0 + k1 + k2 + k3 + len(fresh)
+    # the driver's ~50-row window re-certifies >=40 stale-r1 names
+    # (round-3 verdict item 2)
+    assert k0 + k1 >= 40 or k1 == len(
+        [n for n in DRIVER_VERIFIED_R1 if n not in DRIVER_VERIFIED_R3]
+    )
+    assert sum(1 for n in names[:50] if n in r1_stale) >= min(40, k1)
 
 
 # -- 3. grouped z-score: relational default ------------------------------
