@@ -72,6 +72,58 @@ def test_hll_estimates_close_and_merge_consistent(spark, sf_dir):
     assert abs(rows["ALL"] - direct) / direct < 0.01
 
 
+def test_hll_persistence_roundtrip_unions_to_full_corpus(spark, sf_dir):
+    """Round-3 verdict item 7: per-SHARD sketches written to parquet,
+    read back, and unioned must give the IDENTICAL estimate a single
+    full-corpus sketch gives (HLL register state is a pointwise max —
+    shard union loses nothing), at every rollup level."""
+    import os
+
+    from iceberg_cache_spark.operators.sketch import (
+        hll_sketch_read,
+        hll_sketch_write,
+        hll_union_estimate,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="hll_")
+    try:
+        # two shards, as if two ingest days wrote independently
+        for shard in (0, 1):
+            hll_sketch_write(
+                e.filter(F.col("event_id") % 2 == shard),
+                os.path.join(base, f"shard={shard}"),
+                ["event_type"],
+                "user_id",
+            )
+        shards = hll_sketch_read(spark, os.path.join(base, "shard=*"))
+        # rollup 1: per event_type across shards == single-pass sketch
+        got = {
+            r["event_type"]: r["approx_distinct"]
+            for r in hll_union_estimate(shards, ["event_type"]).collect()
+        }
+        want = {
+            r["event_type"]: r["n"]
+            for r in e.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", 12)
+                ).alias("n")
+            )
+            .collect()
+        }
+        assert got == want
+        # rollup 2: global union of all shard sketches == single-pass
+        # global sketch — no rescan of the raw corpus at any level
+        got_all = hll_union_estimate(shards).collect()[0]["approx_distinct"]
+        want_all = e.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("n")
+        ).collect()[0]["n"]
+        assert got_all == want_all
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_zorder_bounds_both_columns():
     # 16 bits, 2 dims: both column codes round-trip from the z-value
     from iceberg_cache_spark.operators.zorder import morton_code

@@ -187,3 +187,42 @@ def test_tpch_q22_threshold_broadcasts(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+# -- expensive-tier regression guards (round-3 verdict item 4) -----------
+#
+# The round-3 wins being pinned: posting lists / signature tables /
+# edge lists are materialized ONCE (localCheckpoint) — the final plan
+# re-SCANS the checkpointed table (ExistingRDD) but never re-SCANS the
+# parquet corpus. If someone drops a checkpoint, "Scan parquet" nodes
+# reappear in the final plan and these fail. Exchange counts are upper
+# bounds on the audited-good shapes so added shuffles can't slip in.
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges,max_parquet_scans",
+    [
+        ("q74_ppjoin_jaccard", 20, 0),
+        ("q62_minhash_near_dup", 7, 0),
+        ("q63_simhash_near_dup", 5, 0),
+        ("q64_ngram_jaccard", 17, 0),
+        ("q116_dedup_clusters", 3, 0),
+        ("q73_ivf_cosine_topk", 5, 2),
+        ("q127_quality_classifier", 5, 1),
+    ],
+)
+def test_expensive_tier_plan_shape(spark, sf_dir, name, max_exchanges, max_parquet_scans):
+    plan = physical(spark, sf_dir, name)
+    n_exchange = plan.count("Exchange")
+    n_scan = plan.count("Scan parquet")
+    assert n_exchange <= max_exchanges, (
+        f"{name}: {n_exchange} Exchanges (audited-good bound {max_exchanges}) "
+        "— a new shuffle crept into the expensive tier"
+    )
+    assert n_scan <= max_parquet_scans, (
+        f"{name}: {n_scan} parquet scans in the final plan "
+        f"(bound {max_parquet_scans}) — materialize-once regressed "
+        "(checkpoint dropped => corpus re-scanned per consumer)"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
