@@ -131,6 +131,35 @@ def main() -> None:
     engine.sql(flagship).collect()
     hit = round(time.perf_counter() - t0, 3)
 
+    # Scale probe (secondary metric): the dedup tier re-run on 5k- and
+    # 50k-doc corpora generated by the SAME density law (Zipf words,
+    # Heaps vocabulary — tools/gen_scaledata.py), so ratio measures
+    # corpus-size scaling at constant text statistics. rows go 10x; a
+    # ratio far above 10 flags superlinear candidate fan-out. Single
+    # runs — this is a trend detector, not a timing benchmark.
+    scale_probe: dict = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        from tools.gen_scaledata import default_base, ensure_scaledata
+
+        dirs = {n: ensure_scaledata(default_base(), n) for n in (5_000, 50_000)}
+        probe_queries = [
+            "q62_minhash_near_dup", "q63_simhash_near_dup",
+            "q64_ngram_jaccard", "q74_ppjoin_jaccard",
+            "q116_dedup_clusters", "q145_chunk_dedup",
+        ]
+        for name in probe_queries:
+            settle(spark)
+            t = {}
+            for n, d in dirs.items():
+                t0 = time.perf_counter()
+                run_query(QUERIES[name](spark, d))
+                t[n] = round(time.perf_counter() - t0, 3)
+            scale_probe[name] = {
+                "docs5k_sec": t[5_000],
+                "docs50k_sec": t[50_000],
+                "ratio_at_10x_rows": round(t[50_000] / max(t[5_000], 1e-9), 2),
+            }
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "declared_query_suite_total",
@@ -141,6 +170,7 @@ def main() -> None:
         "spread_ok": spread_ok,
         "spread_gate": SPREAD_MAX,
         "remeasured": remeasured,
+        "scale_probe": scale_probe,
         "cache": {"cold_sec": cold, "hit_sec": hit},
         "sf": sf,
         "runs": runs,

@@ -201,12 +201,30 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` (≤ 4 chunks ⇒ any
     pair at distance ≤3 collides on at least one 16-bit chunk).
 
     Signatures materialize once (both self-join sides re-derive from
-    the same 64-bit-sum aggregate — the dominant cost)."""
+    the same 64-bit-sum aggregate — the dominant cost).
+
+    Scale guards (added after the round-4 scale probe caught a 32x
+    blowup at 10x corpus on Zipf-realistic text):
+
+    - the Hamming filter runs BEFORE the pair ``distinct`` — candidate
+      pairs stream out of the bucket join, are bit-counted, and the
+      overwhelming majority (far pairs) die before the dedup shuffle
+      instead of after it (identical output, the distinct's input drops
+      by orders of magnitude);
+    - ``(chunk, value)`` buckets larger than ``max_bucket`` docs are
+      dropped from candidate generation (standard LSH hot-bucket
+      capping): a bucket of b docs streams b² join rows, and hot
+      buckets arise exactly where a 16-bit chunk carries no signal
+      (head-heavy token distributions push whole corpora toward the
+      same chunk values). Pairs whose ONLY shared chunk is a dropped
+      mega-bucket are lost — bounded, documented recall cost on a
+      declared-approximate operator."""
     sim = simhash64(df, id_col, text_col).localCheckpoint()
     chunks = sim.select(
         F.col(id_col),
@@ -225,6 +243,13 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select(id_col, "simhash", "ck.chunk", "ck.cv")
+    bucket_ok = (
+        chunks.groupBy("chunk", "cv")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket)
+        .select("chunk", "cv")
+    )
+    chunks = chunks.join(bucket_ok, ["chunk", "cv"], "left_semi")
     a = chunks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
     )
@@ -239,8 +264,8 @@ def simhash_pairs(
             "id_b",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -290,20 +315,34 @@ def ngram_jaccard_pairs(
         id_col, "gh"
     )
     sizes = kept.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = kept.select(F.col(id_col).alias("id_a"), "gh")
-    b = kept.select(F.col(id_col).alias("id_b"), "gh")
+    # Carry each side's gram-set size INTO the bucket join (8 extra
+    # bytes/row) so two pruning steps run before the intersection
+    # aggregate instead of after it: (1) pairs whose size ratio is
+    # below the threshold can never reach it (inter <= min, union >=
+    # max => J <= min/max) and die before the groupBy shuffle; (2)
+    # grouping by (ids, sizes) — sizes are functionally dependent on
+    # ids — deletes the two post-aggregation join-backs the previous
+    # plan paid. Output identical; two shuffles and the worst of the
+    # pair fan-out gone (round-4 scale-probe finding).
+    kept_sz = kept.join(sizes, id_col)
+    a = kept_sz.select(
+        F.col(id_col).alias("id_a"), "gh", F.col("sz").alias("sz_a")
+    )
+    b = kept_sz.select(
+        F.col(id_col).alias("id_b"), "gh", F.col("sz").alias("sz_b")
+    )
     inter = (
         a.join(b, "gh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(
+            (F.col("sz_a") * threshold <= F.col("sz_b"))
+            & (F.col("sz_b") * threshold <= F.col("sz_a"))
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
-    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sza, "id_a")
-        .join(szb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             F.round(
