@@ -4,7 +4,7 @@ sf0.01 compared with its oracle_sql() via DuckDB. Writes the
 machine-readable result to CORRECTNESS_local_r{N}.json (full-corpus
 verification regardless of driver sampling — the driver checks only
 the first ~50 registry entries each round). Round number comes from
-SPARK_GRAFT_ROUND (default 3)."""
+SPARK_GRAFT_ROUND (default 4)."""
 import importlib.util
 import json
 import os
