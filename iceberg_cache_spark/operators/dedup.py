@@ -401,13 +401,35 @@ def ngram_jaccard_pairs_ppjoin(
     with_sz = ranked.join(sizes, id_col)
     # integer ceil(t*sz) = (num*sz + den - 1) div den
     prefix_len = F.col("sz") - ((num * F.col("sz") + den - 1) / den).cast("bigint") + 1
-    prefix = with_sz.filter(F.col("rnk") <= prefix_len).select(id_col, "gh", "sz")
+    prefix = with_sz.filter(F.col("rnk") <= prefix_len).select(
+        id_col, "gh", "sz", "rnk"
+    )
 
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "gh", F.col("sz").alias("sz_a")
+        F.col(id_col).alias("id_a"),
+        "gh",
+        F.col("sz").alias("sz_a"),
+        F.col("rnk").alias("rnk_a"),
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), "gh", F.col("sz").alias("sz_b")
+        F.col(id_col).alias("id_b"),
+        "gh",
+        F.col("sz").alias("sz_b"),
+        F.col("rnk").alias("rnk_b"),
+    )
+    # POSITIONAL filter (the second P of PPJoin): both docs rank grams
+    # in the same global (dfreq, gh) order, so a shared gram at
+    # positions (pa, pb) bounds the remaining possible overlap by
+    # 1 + min(sz_a - pa, sz_b - pb). A qualifying pair needs overlap
+    # >= ceil(num*(sz_a+sz_b)/(num+den)) [J>=t  =>  O >= t/(1+t)*(sa+sb),
+    # integer ceil], and its FIRST shared prefix gram always satisfies
+    # the bound — so filtering per index hit before the distinct drops
+    # only non-qualifying candidates. Integer arithmetic throughout.
+    min_overlap = (
+        (num * (F.col("sz_a") + F.col("sz_b")) + num + den - 1) / (num + den)
+    ).cast("bigint")
+    ubound = 1 + F.least(
+        F.col("sz_a") - F.col("rnk_a"), F.col("sz_b") - F.col("rnk_b")
     )
     cand = (
         a.join(b, "gh")
@@ -417,6 +439,7 @@ def ngram_jaccard_pairs_ppjoin(
             (F.col("sz_a") * num <= F.col("sz_b") * den)
             & (F.col("sz_b") * num <= F.col("sz_a") * den)
         )
+        .filter(ubound >= min_overlap)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -542,6 +565,98 @@ def connected_components(
     if on_nonconverged == "flag":
         return labels.withColumn("converged", F.lit(True))
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14 — public algorithm): ``(id, cid)`` with ``cid`` = min id in
+    the component, identical output to :func:`connected_components`.
+
+    Why a second algorithm: min-label propagation floods one hop per
+    round, so a component's DIAMETER bounds the round count — fine for
+    shallow near-dup clusters, pathological for chain-shaped graphs.
+    Star contraction converges in O(log² n) rounds regardless of
+    diameter (each round rewires whole neighborhoods onto local minima,
+    roughly halving tree heights), making it the safe default for
+    graphs whose shape is unknown at 100 TB. Per round: two
+    neighborhood min-aggregates + joins, all on the id key; the edge
+    set shrinks toward star graphs rooted at component minima.
+
+    Convergence is detected by edge-set fixpoint (count + order-
+    independent hash aggregate — no driver-side edge collection) and
+    non-convergence raises, same contract as min-label."""
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if e.rdd.isEmpty():
+        return e.select(F.col("u").alias("id"), F.col("v").alias("cid"))
+
+    def _fingerprint(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # no overflow, order-free
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _nbrs(edges: DataFrame) -> DataFrame:
+        return edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _with_min(nbrs: DataFrame) -> DataFrame:
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return nbrs.join(m, "u")
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star: hang every bigger neighbor off the local minimum
+        nm = _with_min(_nbrs(e))
+        large = (
+            nm.filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: rewire the smaller-or-equal neighbors (and u) to it
+        nm2 = _with_min(_nbrs(large))
+        small = (
+            nm2.filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(nm2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        e = small
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach an edge fixpoint in "
+            f"max_iter={max_iter} rounds (O(log^2 n) expected); raise max_iter."
+        )
+    # fixpoint: star edges (child, root). Labels = children -> root,
+    # roots -> themselves, plus any isolated-after-dedup self pairs.
+    children = e.select(F.col("u").alias("id"), F.col("v").alias("cid"))
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
+        "cid", F.col("id")
+    )
+    return children.unionByName(roots).groupBy("id").agg(
+        F.min("cid").alias("cid")
+    )
 
 
 def boilerplate_gram_stats(

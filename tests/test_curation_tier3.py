@@ -15,6 +15,7 @@ from iceberg_cache_spark.operators.curation import domain_reweight
 from iceberg_cache_spark.operators.dedup import (
     boilerplate_gram_stats,
     connected_components,
+    connected_components_star,
 )
 from iceberg_cache_spark.operators.text import gopher_metrics
 
@@ -78,6 +79,49 @@ def test_components_nonconvergence_flag_mode(spark):
     rows = connected_components(pairs, max_iter=30, on_nonconverged="flag").collect()
     assert all(r.converged is True for r in rows)
     assert {r.cid for r in rows} == {0}
+
+
+def test_components_star_matches_minlabel(spark):
+    """Large-star/small-star contraction must produce the identical
+    (id, min-id) labeling as min-label propagation on every graph
+    shape: chains (transitivity), reversed edges, disjoint pairs, and
+    a random multigraph."""
+    import random
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        [(5, 1), (9, 5)],
+        [(i, i + 1) for i in range(0, 200, 2)],
+    ]
+    rnd = random.Random(7)
+    cases.append(
+        [
+            (a, b)
+            for a, b in (
+                (rnd.randrange(300), rnd.randrange(300)) for _ in range(250)
+            )
+            if a != b
+        ]
+    )
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        ml = {
+            (r.id, r.cid)
+            for r in connected_components(pairs, max_iter=60).collect()
+        }
+        st = {(r.id, r.cid) for r in connected_components_star(pairs).collect()}
+        assert ml == st
+
+
+def test_components_star_diameter_independent(spark):
+    # the 25-hop path needs >25 min-label rounds but converges well
+    # inside star contraction's default budget (O(log^2 n) rounds)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], ["id_a", "id_b"]
+    )
+    rows = connected_components_star(pairs).collect()
+    assert {r.cid for r in rows} == {0}
+    assert len(rows) == 26
 
 
 def test_components_long_path_converges_with_budget(spark):
