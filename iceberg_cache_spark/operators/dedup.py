@@ -567,6 +567,93 @@ def connected_components(
     return labels
 
 
+def incremental_dedup_flags(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Flag each BATCH doc that duplicates the EXISTING corpus — the
+    daily-ingest shape of production dedup: the corpus is never
+    self-joined or re-deduped, only the (small) new batch probes it.
+    Returns ``(id, exact_dup, near_dup)`` per batch doc.
+
+    - ``exact_dup``: an md5-identical text exists in the corpus
+      (hash-key semi-join; at scale the corpus side is a pre-built
+      fingerprint table and the probe is one broadcast/bucket join).
+    - ``near_dup``: some corpus doc has n-gram Jaccard >= ``threshold``
+      over the df-capped gram space (document frequency computed over
+      corpus+batch so arriving batches see the same stop-gram set the
+      corpus was filtered with). The inverted-index join is
+      batch-grams x corpus-grams — O(|batch| * df) candidate work, never
+      O(|corpus|²); this is why incremental dedup stays cheap as the
+      corpus grows.
+    """
+    c_txt = corpus.select(F.col(id_col), F.col(text_col))
+    b_txt = batch.select(F.col(id_col), F.col(text_col))
+    exact = (
+        b_txt.select(id_col, F.md5(F.col(text_col)).alias("_fp"))
+        .join(
+            c_txt.select(F.md5(F.col(text_col)).alias("_fp")).distinct(),
+            "_fp",
+            "left_semi",
+        )
+        .select(F.col(id_col).alias("_eid"))
+        .distinct()
+    )
+    all_docs = c_txt.withColumn("_side", F.lit(0)).unionByName(
+        b_txt.withColumn("_side", F.lit(1))
+    )
+    grams = (
+        with_shingles(all_docs, text_col, n)
+        .select(F.col(id_col), "_side", F.explode_outer(F.col("_sh")).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(id_col, "_side", F.xxhash64("g").alias("gh"))
+        .localCheckpoint()
+    )
+    gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
+    kept = grams.join(
+        gram_df.filter(F.col("dfreq") <= max_doc_freq), "gh"
+    ).select(id_col, "_side", "gh")
+    sizes = kept.groupBy(id_col, "_side").agg(F.count("*").alias("sz"))
+    kept_sz = kept.join(sizes, [id_col, "_side"])
+    bg = kept_sz.filter(F.col("_side") == 1).select(
+        F.col(id_col).alias("_bid"), "gh", F.col("sz").alias("sz_b")
+    )
+    cg = kept_sz.filter(F.col("_side") == 0).select(
+        F.col(id_col).alias("_cid"), "gh", F.col("sz").alias("sz_c")
+    )
+    near = (
+        bg.join(cg, "gh")
+        .filter(
+            (F.col("sz_b") * threshold <= F.col("sz_c"))
+            & (F.col("sz_c") * threshold <= F.col("sz_b"))
+        )
+        .groupBy("_bid", "_cid", "sz_b", "sz_c")
+        .agg(F.count("*").alias("inter"))
+        .filter(
+            F.col("inter")
+            / (F.col("sz_b") + F.col("sz_c") - F.col("inter")).cast("double")
+            >= threshold
+        )
+        .select(F.col("_bid"))
+        .distinct()
+    )
+    return (
+        b_txt.select(id_col)
+        .join(exact.withColumn("_e", F.lit(1)), F.col(id_col) == F.col("_eid"), "left")
+        .join(near.withColumn("_n", F.lit(1)), F.col(id_col) == F.col("_bid"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_e"), F.lit(0)).cast("int").alias("exact_dup"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("int").alias("near_dup"),
+        )
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     a_col: str = "id_a",

@@ -223,3 +223,86 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: diameter-independent dedup clusters + incremental batch dedup
+# ---------------------------------------------------------------------------
+
+from iceberg_cache_spark.operators import dedup as _D  # noqa: E402
+from iceberg_cache_spark.plans.extensions import _DUCK_TOKS  # noqa: E402
+from iceberg_cache_spark.plans.registry import ORACLE  # noqa: E402
+
+
+@declared("q148_dedup_clusters_star", ORACLE["q116_dedup_clusters"])
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """Same declared result as q116 (duplicate clusters of the exact
+    n-gram-Jaccard >= 0.5 pair graph; oracle = the identical recursive
+    CTE) computed with the diameter-independent algorithm: alternating
+    large-star/small-star contraction (Kiveris et al. SOCC'14) instead
+    of min-label propagation. O(log^2 n) rounds regardless of component
+    shape — the safe default when cluster diameter is unknown at
+    100 TB. Hash-equality with q116's oracle is the cross-algorithm
+    correctness proof."""
+    d = T(spark, sf, "documents")
+    pairs = _D.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    return (
+        _D.connected_components_star(pairs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("cid").cast("bigint").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q149_incremental_dedup",
+    f"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       exact AS (
+         SELECT DISTINCT b.doc_id FROM batch b
+         JOIN corpus c ON md5(b.text) = md5(c.text)),
+       toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       allgrams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id,
+                  array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+3 AS BIGINT)], ' ') AS g
+           FROM toks, UNNEST(range(greatest(len(t) - 2, 1))) AS u(i))),
+       gram_df AS (SELECT g, COUNT(*) AS dfreq FROM allgrams GROUP BY g),
+       grams AS (SELECT doc_id, g FROM allgrams JOIN gram_df USING (g)
+                 WHERE dfreq <= 100),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       inter AS (
+         SELECT bg.doc_id AS bid, cg.doc_id AS cid, COUNT(*) AS i
+         FROM grams bg JOIN grams cg USING (g)
+         WHERE bg.doc_id % 5 = 0 AND cg.doc_id % 5 <> 0
+         GROUP BY bg.doc_id, cg.doc_id),
+       near AS (
+         SELECT DISTINCT bid FROM inter
+         JOIN sizes sb ON sb.doc_id = bid
+         JOIN sizes sc ON sc.doc_id = cid
+         WHERE i / CAST(sb.sz + sc.sz - i AS DOUBLE) >= 0.5)
+       SELECT b.doc_id,
+              CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                AS exact_dup,
+              CAST(CASE WHEN n.bid IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                AS near_dup
+       FROM batch b
+       LEFT JOIN exact e ON e.doc_id = b.doc_id
+       LEFT JOIN near n ON n.bid = b.doc_id
+       ORDER BY b.doc_id""",
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the daily-ingest shape: a
+    new batch (doc_id % 5 = 0) probes the existing corpus (the rest)
+    for exact (md5 fingerprint semi-join) and near (df-capped n-gram
+    Jaccard >= 0.5, inverted-index join restricted to batch x corpus
+    pairs) duplicates. The corpus is NEVER self-joined — candidate work
+    is O(|batch| * df), so ingest cost stays flat as the corpus grows.
+    """
+    d = T(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    return _D.incremental_dedup_flags(corpus, batch).orderBy("doc_id")

@@ -279,3 +279,44 @@ def test_components_match_union_find_on_random_graphs(spark):
         assert got == _union_find_components(edges)
 
     check()
+
+
+# -- incremental (batch-vs-corpus) dedup ---------------------------------
+
+
+def test_incremental_dedup_flags_planted(spark):
+    from iceberg_cache_spark.operators.dedup import incremental_dedup_flags
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("epsilon", "EPSILON2").replace("tau", "TAU2")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),        # exact copy of corpus doc 1 (=> near too)
+            (11, near),        # perturbed copy: near only
+            (12, "completely different words nothing shared here at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.exact_dup, r.near_dup)
+        for r in incremental_dedup_flags(corpus, batch).collect()
+    }
+    assert got[10] == (1, 1)
+    assert got[11] == (0, 1)
+    assert got[12] == (0, 0)
+    assert set(got) == {10, 11, 12}  # corpus docs never appear in output
+
+
+def test_incremental_dedup_empty_batch(spark):
+    from iceberg_cache_spark.operators.dedup import incremental_dedup_flags
+
+    corpus = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    batch = spark.createDataFrame([], "doc_id bigint, text string")
+    assert incremental_dedup_flags(corpus, batch).count() == 0
