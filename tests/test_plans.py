@@ -209,6 +209,8 @@ def test_tpch_q22_threshold_broadcasts(spark, sf_dir):
         ("q116_dedup_clusters", 3, 0),
         ("q73_ivf_cosine_topk", 5, 2),
         ("q127_quality_classifier", 5, 1),
+        ("q149_incremental_dedup", 23, 3),  # exact-fp probe scans + checkpointed grams
+        ("q148_dedup_clusters_star", 5, 0),
     ],
 )
 def test_expensive_tier_plan_shape(spark, sf_dir, name, max_exchanges, max_parquet_scans):
