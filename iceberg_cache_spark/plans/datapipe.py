@@ -306,3 +306,74 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     batch = d.filter(F.col("doc_id") % 5 == 0)
     return _D.incremental_dedup_flags(corpus, batch).orderBy("doc_id")
+
+
+@declared(
+    "q150_dedup_apply",
+    f"""WITH RECURSIVE toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       allgrams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id,
+                  array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+3 AS BIGINT)], ' ') AS g
+           FROM toks, UNNEST(range(greatest(len(t) - 2, 1))) AS u(i))),
+       gram_df AS (SELECT g, COUNT(*) AS dfreq FROM allgrams GROUP BY g),
+       grams AS (SELECT doc_id, g FROM allgrams JOIN gram_df USING (g)
+                 WHERE dfreq <= 100),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         FROM grams a JOIN grams b USING (g)
+         WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+       pairs AS (
+         SELECT id_a, id_b FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(doc, r) AS (
+         SELECT DISTINCT a, a FROM edges
+         UNION
+         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
+       clusters AS (SELECT doc, MIN(r) AS cid FROM reach GROUP BY doc),
+       dropped AS (SELECT doc FROM clusters WHERE doc <> cid)
+       SELECT d.lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) FILTER (dr.doc IS NULL) AS BIGINT) AS n_kept,
+              CAST(COUNT(*) FILTER (dr.doc IS NOT NULL) AS BIGINT) AS n_dropped,
+              CAST(COALESCE(SUM(d.n_chars) FILTER (dr.doc IS NULL), 0) AS BIGINT)
+                AS kept_chars
+       FROM documents d LEFT JOIN dropped dr ON dr.doc = d.doc_id
+       GROUP BY d.lang ORDER BY d.lang""",
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup KILL path end-to-end: near-dup clusters (exact n-gram
+    Jaccard >= 0.5, connected components) -> keep the min-doc_id
+    representative per cluster -> drop the rest -> per-language corpus
+    reduction report. This is the query a pipeline actually ships:
+    q62-q74/q116 find duplicates; this one applies the decision and
+    accounts for what survived. One anti-join against the (small)
+    dropped-id set over the scan — the corpus is never rescanned per
+    cluster."""
+    d = T(spark, sf, "documents")
+    pairs = _D.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    clusters = _D.connected_components_star(pairs)
+    dropped = clusters.filter(F.col("id") != F.col("cid")).select(
+        F.col("id").alias("doc_id")
+    )
+    flagged = d.join(
+        dropped.withColumn("_drop", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("_drop").isNull(), 1)).cast("bigint").alias("n_kept"),
+            F.count(F.when(F.col("_drop").isNotNull(), 1)).cast("bigint").alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("_drop").isNull(), F.col("n_chars"))), F.lit(0)
+            ).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
