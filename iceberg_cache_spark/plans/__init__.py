@@ -10,15 +10,15 @@ registry iteration order each round and stops. The registry is ordered
 so that, across rounds, every query accumulates a driver CORRECTNESS
 row, freshest-evidence-last:
 
-1. oracle-matched queries with **no** driver row yet (round 4: any
+1. oracle-matched queries with **no** driver row yet (round 5: any
    newly added operators),
-2. already-certified queries, OLDEST driver evidence first: the 42
-   round-1-verified names whose last driver row predates two rounds of
-   shared-operator churn (q01–q06/q10/q11 were re-certified green in
-   round 3 and drop to the back), then round-2-verified names,
+2. already-certified queries, OLDEST driver evidence first: after
+   round 4 re-certified the 47 stalest round-1 names, the oldest
+   evidence is the round-2 tier (q19/q37–q39/q59–q61/q64–q74/q78–q112
+   families, last driver-checked in round 2) — those 43 names lead,
 3. rows-only queries (9 — LSH/approx/ML operators without oracle SQL;
    all got a fresh rows-only row in round 3),
-4. round-3-certified queries, freshest evidence last.
+4. round-3/round-4-certified queries, freshest evidence last.
 
 This ordering is a coverage protocol, not sampling-steering: the FULL
 corpus is locally verified with the driver's exact canonicalization
@@ -103,18 +103,44 @@ DRIVER_VERIFIED_R3 = frozenset(
 )
 
 
+# Names the round-4 driver hash-verified green (CORRECTNESS_r04.json:
+# 50/50 — the 47 stalest r1 names plus the three new dedup queries).
+DRIVER_VERIFIED_R4 = frozenset(
+    {
+        "q12_full_join", "q13_semi_join", "q14_anti_join", "q15_cross_join",
+        "q16_theta_join", "q17_multiway_join_agg", "q18_broadcast_join",
+        "q20_groupby_agg", "q21_count_distinct", "q22_having", "q23_rollup",
+        "q24_cube", "q25_scalar_agg", "q26_stddev_var", "q28_grouping_sets",
+        "q29_percentile", "q30_row_number", "q31_lag_lead", "q32_window_frame",
+        "q33_ntile", "q34_topk_per_group", "q35_range_frame",
+        "q36_first_last_nth", "q37_posexplode", "q40_order_limit",
+        "q41_offset", "q42_union_all", "q43_union_distinct", "q44_intersect",
+        "q45_except", "q46_scalar_subquery", "q47_in_subquery", "q48_cte",
+        "q49_string_position", "q50_string_funcs", "q51_regex",
+        "q52_math_funcs", "q53_date_funcs", "q54_timestamp_trunc",
+        "q55_greatest_least", "q56_hash_funcs", "q57_array_funcs", "q58_json",
+        "q59_ts_arith", "q75_pivot", "q76_values_inline", "q77_except_all",
+        "q148_dedup_clusters_star", "q149_incremental_dedup",
+        "q150_dedup_apply",
+    }
+)
+
+
 def _priority(name: str) -> tuple[int, int]:
     order = list(QUERIES).index(name)
-    certified = DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2 | DRIVER_VERIFIED_R3
+    certified = (
+        DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2 | DRIVER_VERIFIED_R3 | DRIVER_VERIFIED_R4
+    )
+    fresh = DRIVER_VERIFIED_R3 | DRIVER_VERIFIED_R4
     if name in ORACLE and name not in certified:
         return (0, order)  # new this round: needs a first driver row
-    if name in ORACLE and name in DRIVER_VERIFIED_R1 and name not in DRIVER_VERIFIED_R3:
-        return (1, order)  # stalest evidence: r1-certified, churned since
-    if name in ORACLE and name in DRIVER_VERIFIED_R2 and name not in DRIVER_VERIFIED_R3:
-        return (2, order)
+    if name in ORACLE and name in DRIVER_VERIFIED_R2 and name not in fresh:
+        return (1, order)  # stalest evidence: r2-certified, not since
+    if name in ORACLE and name in DRIVER_VERIFIED_R1 and name not in fresh:
+        return (2, order)  # (empty after r4: all r1 names re-certified)
     if name not in ORACLE:
         return (3, order)  # rows-only; all re-recorded in r3
-    return (4, order)  # r3-fresh
+    return (4, order)  # r3/r4-fresh
 
 
 def _reorder() -> None:
@@ -136,4 +162,5 @@ __all__ = [
     "DRIVER_VERIFIED_R1",
     "DRIVER_VERIFIED_R2",
     "DRIVER_VERIFIED_R3",
+    "DRIVER_VERIFIED_R4",
 ]
