@@ -231,6 +231,16 @@ class CacheManager:
                 self._drop(k)
             return len(victims)
 
+    def drop_keys(self, keys) -> int:
+        """Drop exactly the named entries (engine-side participation
+        tracking decides WHICH plan-cache entries a table commit
+        touches; the manager just evicts them)."""
+        with self._lock:
+            victims = [k for k in keys if k in self._entries]
+            for k in victims:
+                self._drop(k)
+            return len(victims)
+
     def invalidate_table(self, table_id: str) -> int:
         """Drop every entry whose key starts with ``table_id#`` (C9)."""
         with self._lock:

@@ -35,6 +35,10 @@ class CachedQueryEngine:
         # each view once instead of per call, re-registering only when
         # the table's snapshot moved or it was invalidated.
         self._registered: dict[str, str | None] = {}
+        # __plan#key -> tables the cached plan read (None = unknown ->
+        # drop on ANY invalidation). Lets invalidate_table keep cached
+        # SQL results that never touched the invalidated table.
+        self._plan_participants: dict[str, frozenset[str] | None] = {}
         ensure_session_defaults(spark)
 
     # -- table registration -------------------------------------------------
@@ -133,6 +137,7 @@ class CachedQueryEngine:
         cached = self.cache.get(key)
         if cached is not None:
             return cached
+        self._plan_participants[key] = self._plan_tables(df)
         return self.cache.put(key, df)
 
     def _ensure_views(self) -> None:
@@ -148,13 +153,42 @@ class CachedQueryEngine:
             self.table(table_id, materialize=False).createOrReplaceTempView(table_id)
             self._registered[table_id] = snap
 
+    def _plan_tables(self, df: DataFrame) -> frozenset[str] | None:
+        """Registered tables the analyzed plan actually reads: every
+        temp view resolves to ``SubqueryAlias <name>`` in the analyzed
+        plan, so walking node names and matching against the loader
+        registry names the participants. Returns ``None`` (= unknown,
+        treat as touching everything) on any reflection failure —
+        correctness degrades to the old drop-all behavior, never to a
+        stale hit."""
+        known = set(self._loaders)
+        try:
+            found: set[str] = set()
+            stack = [df._jdf.queryExecution().analyzed()]  # noqa: SLF001
+            while stack:
+                node = stack.pop()
+                if node.nodeName() == "SubqueryAlias":
+                    name = node.identifier().name()
+                    if name in known:
+                        found.add(name)
+                children = node.children()
+                for i in range(children.size()):
+                    stack.append(children.apply(i))
+                inner = node.innerChildren()
+                for i in range(inner.size()):
+                    stack.append(inner.apply(i))
+            return frozenset(found)
+        except Exception:
+            return None
+
     def _plan_fingerprint(self, df: DataFrame) -> str:
         """Semantic hash of the canonicalized analyzed plan (attribute
         ids normalized away; no public PySpark API — JVM access), salted
         with the snapshot ids of every catalog-backed table. A catalog
         commit therefore changes the fingerprint and the cached result
         is a natural miss — the stale entry ages out via eviction/TTL
-        (and invalidate_table drops ``__plan#`` entries eagerly).
+        (and invalidate_table eagerly drops the ``__plan#`` entries
+        whose plan read the invalidated table, per _plan_tables).
         Conservative: *all* catalog tables are folded in, not only the
         plan's participants, so an unrelated commit costs one re-run."""
         plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
@@ -198,10 +232,27 @@ class CachedQueryEngine:
         blooms = getattr(self, "_blooms", {})
         for bkey in [k for k in blooms if k[0] == table_id]:
             del blooms[bkey]
-        # Cached SQL results (__plan# entries) may have read this table;
-        # participation isn't tracked, so drop them all (cheap: bookkeeping
-        # + unpersist) — correctness over reuse.
-        self.cache.drop_prefix("__plan#")
+        # Cached SQL results: drop exactly the __plan# entries whose
+        # analyzed plan read this table (participation tracked at put
+        # time via _plan_tables). Entries with unknown participation
+        # (walker failed) and untracked strays drop too — correctness
+        # over reuse; a result that only read OTHER tables survives.
+        tracked = self._plan_participants
+        victims = [
+            k for k, tabs in tracked.items() if tabs is None or table_id in tabs
+        ]
+        victims += [
+            k
+            for k in self.cache.keys()
+            if k.startswith("__plan#") and k not in tracked
+        ]
+        self.cache.drop_keys(victims)
+        for k in victims:
+            tracked.pop(k, None)
+        # bookkeeping GC: forget records whose entry was evicted anyway
+        live = set(self.cache.keys())
+        for k in [k for k in tracked if k not in live]:
+            tracked.pop(k, None)
         self._registered.pop(table_id, None)
         try:
             self.spark.catalog.refreshTable(table_id)

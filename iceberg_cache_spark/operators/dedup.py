@@ -41,6 +41,23 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _prefilter_threshold(threshold: float) -> float:
+    """Conservative size-ratio prefilter threshold.
+
+    The length prefilter prunes pair (a, b) when ``sz_a * t > sz_b`` —
+    valid because J <= min/max. But ``sz_a * t`` is evaluated in IEEE
+    doubles: for a threshold whose binary expansion rounds UP (0.3 →
+    0.30000000000000004), ``10 * 0.3 = 3.0000000000000004 > 3`` prunes
+    a subset pair whose exact Jaccard equals the threshold — the final
+    (authoritative) Jaccard filter would have kept it. Slacking the
+    prefilter by 1e-4 makes it strictly weaker than the final filter
+    for any gram-set size below ~10^4/ulp: it covers double rounding of
+    both the multiply and the ``round(J, 4)`` comparison window, while
+    costing essentially no pruning power (0.01% of the ratio band).
+    The exact final filter remains the only semantic gate."""
+    return max(threshold - 1e-4, 0.0)
+
+
 def shingles_of(toks: Column, k: int = 3) -> Column:
     """Distinct word k-shingles from a *bound* token-array column.
 
@@ -290,7 +307,15 @@ def ngram_jaccard_pairs(
     filtering): a gram shared by d docs contributes d² join pairs, so
     without the cap the inverted-index join degenerates to ~n² on
     boilerplate-heavy corpora. Jaccard is exact over the filtered gram
-    space, and the cap bounds every join bucket at 100 TB."""
+    space, and the cap bounds every join bucket at 100 TB.
+
+    SET semantics throughout: ``shingles_of`` applies ``array_distinct``
+    per document, so each doc contributes each gram AT MOST ONCE —
+    ``groupBy(gh).count()`` is true document frequency, and sizes /
+    intersections are distinct-gram-set sizes, exactly the oracle's
+    ``SELECT DISTINCT doc_id, g`` semantics even for documents with
+    internally repeated n-grams (regression-tested with repeated-gram
+    fixtures in tests/test_round5_fixes.py)."""
     # join/aggregate on the 8-byte gram hash, not the gram string: the
     # shuffle carries fixed-width keys (64-bit collision odds ~1e-8 at
     # 100M distinct grams — negligible vs. the bandwidth saved)
@@ -331,12 +356,16 @@ def ngram_jaccard_pairs(
     b = kept_sz.select(
         F.col(id_col).alias("id_b"), "gh", F.col("sz").alias("sz_b")
     )
+    # _prefilter_threshold: 1e-4 slack so IEEE rounding of sz*t can
+    # never prune a pair the exact final Jaccard filter would keep
+    # (threshold=0.3, sz 10 vs 3: 10*0.3 -> 3.0000000000000004).
+    pf = _prefilter_threshold(threshold)
     inter = (
         a.join(b, "gh")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            (F.col("sz_a") * threshold <= F.col("sz_b"))
-            & (F.col("sz_b") * threshold <= F.col("sz_a"))
+            (F.col("sz_a") * pf <= F.col("sz_b"))
+            & (F.col("sz_b") * pf <= F.col("sz_a"))
         )
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
@@ -626,11 +655,12 @@ def incremental_dedup_flags(
     cg = kept_sz.filter(F.col("_side") == 0).select(
         F.col(id_col).alias("_cid"), "gh", F.col("sz").alias("sz_c")
     )
+    pf = _prefilter_threshold(threshold)  # see ngram_jaccard_pairs
     near = (
         bg.join(cg, "gh")
         .filter(
-            (F.col("sz_b") * threshold <= F.col("sz_c"))
-            & (F.col("sz_c") * threshold <= F.col("sz_b"))
+            (F.col("sz_b") * pf <= F.col("sz_c"))
+            & (F.col("sz_c") * pf <= F.col("sz_b"))
         )
         .groupBy("_bid", "_cid", "sz_b", "sz_c")
         .agg(F.count("*").alias("inter"))
@@ -737,6 +767,12 @@ def connected_components_star(
         )
     # fixpoint: star edges (child, root). Labels = children -> root,
     # roots -> themselves, plus any isolated-after-dedup self pairs.
+    # The extraction ASSUMES the fixpoint is a forest of stars rooted at
+    # component minima — verify cheaply instead of trusting the
+    # fingerprint (a stable non-star fixpoint or a hash collision would
+    # otherwise return silently wrong labels, the failure mode the
+    # min-label path guards against loudly).
+    _assert_star_forest(e)
     children = e.select(F.col("u").alias("id"), F.col("v").alias("cid"))
     roots = e.select(F.col("v").alias("id")).distinct().withColumn(
         "cid", F.col("id")
@@ -744,6 +780,46 @@ def connected_components_star(
     return children.unionByName(roots).groupBy("id").agg(
         F.min("cid").alias("cid")
     )
+
+
+def _assert_star_forest(e: DataFrame) -> None:
+    """Raise unless edge set ``e`` (u=child, v=parent) is a forest of
+    stars rooted at per-component minima:
+
+    1. every edge points strictly downward (v < u) — roots are minima;
+    2. every child has exactly one parent;
+    3. no id is both a child and a parent (depth is exactly 1).
+
+    Two O(|e|) aggregate jobs over the (small) fixpoint edge set — the
+    price of turning "probably a star" into a loud contract, mirroring
+    connected_components' non-convergence raise."""
+    row = (
+        e.groupBy("u")
+        .agg(
+            F.count_distinct("v").alias("np"),
+            F.max((F.col("v") >= F.col("u")).cast("int")).alias("bad_orient"),
+        )
+        .agg(
+            F.max("np").alias("max_parents"),
+            F.max("bad_orient").alias("bad_orient"),
+        )
+        .collect()[0]
+    )
+    deep = (
+        e.select("u")
+        .join(e.select(F.col("v").alias("u")).distinct(), "u", "left_semi")
+        .limit(1)
+        .count()
+    )
+    if (row["max_parents"] or 0) > 1 or (row["bad_orient"] or 0) > 0 or deep > 0:
+        raise RuntimeError(
+            "connected_components_star reached an edge fixpoint that is NOT a "
+            f"star forest (max_parents={row['max_parents']}, "
+            f"bad_orientation={bool(row['bad_orient'])}, depth>1={bool(deep)}): "
+            "labels would be wrong. This indicates a non-star stable fixpoint "
+            "or a fingerprint collision — rerun with connected_components "
+            "(min-label) or report the graph."
+        )
 
 
 def boilerplate_gram_stats(

@@ -47,6 +47,36 @@ def _estimated_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+# Operators whose non-CBO sizeInBytes passes the CHILD size through
+# while the OUTPUT can be many times larger: Generate (explode & co.
+# fan out rows) and Expand (rollup/cube/grouping-sets multiply rows by
+# the grouping-set count). A plan containing one can under-estimate by
+# the fan-out factor — the one direction that hurts (driver OOM on the
+# materializing path). Over-estimates (joins multiply child sizes,
+# aggregates inherit theirs) only cost the ~2x-slower streaming path.
+_UNDERESTIMATING_NODES = frozenset({"Generate", "Expand"})
+
+
+def _estimate_trustworthy(df: DataFrame) -> bool:
+    """False when the optimized plan contains a row-expanding operator
+    whose size estimate is pass-through (see _UNDERESTIMATING_NODES) —
+    such results must take the O(flush-window) streaming path no matter
+    how small Catalyst thinks they are. Walks the (small) logical plan
+    via py4j; any reflection failure counts as untrustworthy."""
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in _UNDERESTIMATING_NODES:
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return True
+    except Exception:
+        return False
+
+
 def _materialized_batches(df: DataFrame, schema: pa.Schema, batch_size: int):
     """Fast serve path for results estimated to fit comfortably in
     driver memory: one parallel ``toArrow`` job (no Python-worker
@@ -183,7 +213,10 @@ class SparkFlightServer(flight.FlightServerBase):
         name = ticket.ticket.decode()
         df = self._resolve(name)
         schema = _df_schema(df)
-        if _estimated_bytes(df) <= self.materialize_below_bytes:
+        if (
+            _estimated_bytes(df) <= self.materialize_below_bytes
+            and _estimate_trustworthy(df)
+        ):
             gen = _materialized_batches(df, schema, self.batch_size)
         else:
             gen = _batches(df, self.batch_size)

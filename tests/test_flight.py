@@ -161,3 +161,62 @@ def test_flight_bad_sql_surfaces_error(server):
     client = flight.connect(location)
     with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
         client.do_get(flight.Ticket(b"sql:SELECT * FROM nope")).read_all()
+
+
+def test_estimate_distrusts_row_expanding_plans(spark, sf_dir, server):
+    """ADVICE r5: Catalyst's non-CBO sizeInBytes passes the CHILD size
+    through Generate/Expand, so an explode result can be arbitrarily
+    larger than its estimate. The adaptive chooser must route such
+    plans to the streaming path regardless of the estimate."""
+    from iceberg_cache_spark.serving.flight import (
+        _estimate_trustworthy,
+        _estimated_bytes,
+    )
+
+    _, engine = server
+    plain = engine.sql("SELECT r_regionkey FROM region")
+    assert _estimate_trustworthy(plain)
+
+    exploded = engine.sql(
+        "SELECT r_regionkey, x FROM region "
+        "LATERAL VIEW explode(sequence(1, 100000)) t AS x"
+    )
+    assert not _estimate_trustworthy(exploded)
+    # the point of the guard: the estimate alone would have materialized
+    assert _estimated_bytes(exploded) < (1 << 30)
+
+    rollup = engine.sql(
+        "SELECT r_regionkey, count(*) AS n FROM region "
+        "GROUP BY ROLLUP(r_regionkey)"
+    )
+    assert not _estimate_trustworthy(rollup)  # Expand node
+
+
+def test_sql_ticket_adaptive_parity_multi_partition(spark, sf_dir):
+    """VERDICT r4 item 7: the ``sql:`` ticket path must ride the same
+    adaptive chooser as table tickets and round-trip a >1-partition
+    result identically on BOTH physical paths."""
+    from iceberg_cache_spark.serving.flight import query_sql
+
+    engine = CachedQueryEngine(spark)
+    engine.register_parquet("lineitem_fp", os.path.join(sf_dir, "lineitem.parquet"))
+    sql = (
+        "SELECT /*+ REPARTITION(8) */ l_orderkey, l_partkey, l_quantity "
+        "FROM lineitem_fp"
+    )
+    want = engine.sql(sql).toArrow()
+    results = {}
+    for label, thresh in (("materialized", 1 << 30), ("streaming", 0)):
+        srv = SparkFlightServer(
+            engine, "grpc://127.0.0.1:0", materialize_below_bytes=thresh
+        )
+        serve_background(srv)
+        try:
+            got = query_sql(f"grpc://127.0.0.1:{srv.port}", sql)
+            assert engine.sql(sql).rdd.getNumPartitions() > 1
+            results[label] = got.cast(want.schema)
+        finally:
+            srv.shutdown()
+    sort = [("l_orderkey", "ascending"), ("l_partkey", "ascending")]
+    assert results["materialized"].sort_by(sort).equals(want.sort_by(sort))
+    assert results["streaming"].sort_by(sort).equals(want.sort_by(sort))
