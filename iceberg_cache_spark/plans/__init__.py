@@ -35,6 +35,7 @@ from iceberg_cache_spark.plans import relational  # noqa: E402,F401
 from iceberg_cache_spark.plans import extensions  # noqa: E402,F401
 from iceberg_cache_spark.plans import tpch  # noqa: E402,F401
 from iceberg_cache_spark.plans import datapipe  # noqa: E402,F401
+from iceberg_cache_spark.plans import sessions  # noqa: E402,F401
 
 # Names the round-1 driver already hash-verified (CORRECTNESS_r01.json).
 DRIVER_VERIFIED_R1 = frozenset(

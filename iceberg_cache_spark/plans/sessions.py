@@ -1,0 +1,166 @@
+"""Round-5 additions: event-stream batch analytics + the embedding
+dedup kill path.
+
+- q151: SemDeDup-style apply — embedding near-dup clusters (LSH
+  candidates + exact-decimal cosine rescore, threshold 0.9) collapse to
+  the min-vec_id representative; per-label corpus-reduction report.
+  Completes the embedding tier's find→decide→apply story the text tier
+  already has (q116/q148 → q150). Rows-only by SURVEY determinism rules
+  (LSH candidate sets are config-dependent); semantics pinned by
+  planted-near-dup unit tests on the clustered-Gaussian scale corpus.
+- q152: gap-based sessionization of the events table (30-minute
+  inactivity gap) — the batch counterpart of the streaming session
+  window (q81): lag + cumulative-sum session ids, per-session stats.
+  Exact oracle (integer microsecond arithmetic both sides).
+- q153: per-user 1-hour rolling RANGE-frame aggregates over event time
+  — the time-series rolling metric every event pipeline ships. The
+  frame is on integer epoch-microseconds and the rolling sum is
+  DECIMAL-exact, so the oracle hash-matches despite per-row frames.
+
+ref parity: the reference has no event analytics; these extend SURVEY
+§2's "beyond ref" tier (time-series + dedup-apply operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.operators import dedup as _D
+from iceberg_cache_spark.operators import similarity as _S
+from iceberg_cache_spark.plans.registry import declared
+from iceberg_cache_spark.sources.testdata import load_table as T
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+ROLL_US = 3_600 * 1_000_000  # 1 h
+
+
+@declared("q151_semdedup_apply")  # rows-only: LSH candidate generation
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup KILL path: cosine>=0.9 pair graph (LSH
+    buckets + exact decimal rescore, q72's emitter) -> star-contraction
+    connected components -> drop all but the min-vec_id representative
+    -> per-label reduction report. One anti-join of the (small) dropped
+    set against the scan; the corpus is never rescanned per cluster —
+    the same apply shape as q150, in embedding space."""
+    e = T(spark, sf, "embeddings")
+    pairs = _S.embedding_near_dup_pairs(
+        e, threshold=0.9, dim=64, n_planes=4
+    ).select("id_a", "id_b")
+    clusters = _D.connected_components_star(pairs)
+    dropped = clusters.filter(F.col("id") != F.col("cid")).select(
+        F.col("id").alias("vec_id")
+    )
+    flagged = e.join(dropped.withColumn("_drop", F.lit(1)), "vec_id", "left")
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.count(F.when(F.col("_drop").isNull(), 1))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.count(F.when(F.col("_drop").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .orderBy("label")
+    )
+
+
+@declared(
+    "q152_sessionization",
+    f"""WITH ev AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       gaps AS (
+         SELECT user_id, event_id, us,
+                CASE WHEN us - LAG(us) OVER w > {SESSION_GAP_US}
+                       OR LAG(us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       sess AS (
+         SELECT user_id, event_id, us,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM gaps)
+       SELECT user_id, session_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              MIN(us) AS start_us, MAX(us) AS end_us,
+              MAX(us) - MIN(us) AS duration_us
+       FROM sess GROUP BY user_id, session_id
+       ORDER BY user_id, session_id""",
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap sessionization: a session breaks after 30 min of user
+    inactivity. lag -> boundary flag -> running sum = session id ->
+    per-session aggregate. Two window passes + one hash aggregate, all
+    partitioned by user_id — at 100 TB this is one shuffle on the user
+    key (both windows and the groupBy share it; Catalyst reuses the
+    exchange), no driver state, skew bounded by the hottest user."""
+    e = T(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    ev = e.select("user_id", "event_id", us.alias("us"))
+    gaps = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@declared(
+    "q153_rolling_window",
+    f"""WITH ev AS (
+         SELECT event_id, user_id, epoch_us(ts) AS us,
+                CAST(value AS DECIMAL(18,2)) AS dv
+         FROM events)
+       SELECT event_id, user_id,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+              CAST(SUM(dv) OVER w AS DECIMAL(38,2)) AS sum_1h
+       FROM ev
+       WINDOW w AS (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)
+       ORDER BY event_id""",
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user 1-hour rolling event count + value sum: RANGE frame on
+    integer epoch-microseconds (equal timestamps share a frame in both
+    engines), DECIMAL-exact rolling sum so per-row float accumulation
+    order can't drift the hash. One shuffle on user_id; the frame scan
+    is a sorted per-partition sliding window — no self-join, which is
+    the trap formulation (events x events ON ts BETWEEN) that goes
+    quadratic per user at scale."""
+    e = T(spark, sf, "events")
+    ev = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("dv"),
+    )
+    w = W.partitionBy("user_id").orderBy("us").rangeBetween(-ROLL_US, 0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).cast("bigint").alias("n_1h"),
+            F.sum("dv").over(w).cast("decimal(38,2)").alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )

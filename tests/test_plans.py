@@ -228,3 +228,27 @@ def test_expensive_tier_plan_shape(spark, sf_dir, name, max_exchanges, max_parqu
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_hash_exchanges",
+    [
+        ("q152_sessionization", 1),  # both windows + groupBy share user_id
+        ("q153_rolling_window", 1),  # RANGE frame rides one user_id shuffle
+    ],
+)
+def test_event_window_single_shuffle(spark, sf_dir, name, max_hash_exchanges):
+    """The event-window tier must keep ONE hash shuffle (user_id): the
+    lag/running-sum windows and the session aggregate all share the
+    key, and the rolling frame must never become a time self-join."""
+    plan = physical(spark, sf_dir, name)
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= max_hash_exchanges, (
+        f"{name}: {n_hash} hash Exchanges (bound {max_hash_exchanges}) — "
+        "the shared user_id partitioning regressed"
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, (
+        f"{name}: a join appeared in a pure window plan — rolling metric "
+        "rewritten as a self-join?"
+    )

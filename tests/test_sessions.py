@@ -1,0 +1,124 @@
+"""Planted-semantics tests for the round-5 declared queries (q151–q153):
+hand-built inputs with known answers, independent of the fixture corpus
+(q152/q153 are additionally oracle-gated by the driver)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from iceberg_cache_spark.operators import dedup as D
+from iceberg_cache_spark.operators import similarity as S
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, minutes_offset, value)."""
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, base + dt.timedelta(minutes=m), uid, "click", v, "{}")
+        for eid, uid, m, v in rows
+    ]
+    return spark.createDataFrame(
+        data, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+def _run_session(spark, df, tmp_path, name):
+    """Run the declared query body against a tiny parquet dir."""
+    from iceberg_cache_spark.plans import QUERIES
+
+    d = tmp_path / name
+    df.write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return QUERIES[name](spark, str(d))
+
+
+def test_sessionization_gap_boundaries(spark, tmp_path):
+    """u1: events at 0, 10, 50 min (10-min gap joins, 40-min gap
+    splits — 30-min threshold); boundary case: a gap of EXACTLY 30 min
+    does NOT split (strict >). u2: single event."""
+    df = _events(
+        spark,
+        [
+            (0, 1, 0, 1.0),
+            (1, 1, 10, 1.0),
+            (2, 1, 50, 1.0),
+            (3, 1, 80, 1.0),  # exactly 30 min after event 2: same session
+            (4, 2, 0, 1.0),
+        ],
+    )
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_us)
+        for r in _run_session(spark, df, tmp_path, "q152_sessionization").collect()
+    }
+    assert got == {
+        (1, 1): (2, 10 * 60 * 1_000_000),
+        (1, 2): (2, 30 * 60 * 1_000_000),
+        (2, 1): (1, 0),
+    }
+
+
+def test_rolling_window_frame_edges(spark, tmp_path):
+    """1-hour RANGE frame is inclusive at the trailing edge: events at
+    0, 30, 90 min -> counts 1, 2, 2 (the 90-min event still sees the
+    30-min one: 90-60=30)."""
+    df = _events(spark, [(0, 1, 0, 1.5), (1, 1, 30, 2.5), (2, 1, 90, 3.0)])
+    got = {
+        r.event_id: (r.n_1h, float(r.sum_1h))
+        for r in _run_session(spark, df, tmp_path, "q153_rolling_window").collect()
+    }
+    assert got == {0: (1, 1.5), 1: (2, 4.0), 2: (2, 5.5)}
+
+
+def _planted_embeddings(spark):
+    """3 near-identical vectors (cos ~ 1) + 2 isolated ones, two labels."""
+    base = [1.0] + [0.0] * 63
+    eps = [1.0, 0.001] + [0.0] * 62
+    eps2 = [1.0, -0.001] + [0.0] * 62
+    ortho = [0.0, 1.0] + [0.0] * 62
+    ortho2 = [0.0, 0.0, 1.0] + [0.0] * 61
+    rows = [
+        (0, base, 0),
+        (1, eps, 0),
+        (2, eps2, 0),
+        (3, ortho, 1),
+        (4, ortho2, 1),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_semdedup_apply_planted(spark, tmp_path):
+    """Cluster {0,1,2} keeps vec 0; vecs 3 and 4 are untouched."""
+    from iceberg_cache_spark.plans import QUERIES
+
+    e = _planted_embeddings(spark)
+    d = tmp_path / "semdedup"
+    e.write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    got = {
+        r.label: (r.n_vecs, r.n_kept, r.n_dropped)
+        for r in QUERIES["q151_semdedup_apply"](spark, str(d)).collect()
+    }
+    assert got == {0: (3, 1, 2), 1: (2, 2, 0)}
+
+
+def test_semdedup_pairs_found_on_planted_near_dups(spark):
+    """The q151 pair emitter finds planted near-dups in the scale
+    corpus generator's embedding table (cos >= 0.9 after a 1%-noise
+    copy) — the generator and operator agree on what a near-dup is."""
+    import pyarrow.parquet as pq
+
+    from tools.gen_scaledata import gen_embeddings
+
+    tbl = gen_embeddings(300, seed=123, dup_frac=0.15)
+    pdf = tbl.to_pandas()
+    df = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding], int(r.label)) for r in pdf.itertuples()],
+        ["vec_id", "embedding", "label"],
+    )
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.9, dim=64, n_planes=4)
+    n = pairs.count()
+    assert n >= 20  # ~45 planted copies; LSH at 16 buckets finds most
+    sims = [r.sim for r in pairs.collect()]
+    assert all(s >= 0.9 for s in sims)

@@ -11,7 +11,7 @@ import os
 import sys
 import time
 
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "4")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "5")
 OUT = f"/root/repo/CORRECTNESS_local_r{ROUND}.json"
 
 sys.path.insert(0, "/root/repo")
