@@ -184,19 +184,30 @@ class CachedQueryEngine:
     def _plan_fingerprint(self, df: DataFrame) -> str:
         """Semantic hash of the canonicalized analyzed plan (attribute
         ids normalized away; no public PySpark API — JVM access), salted
-        with the snapshot ids of every catalog-backed table. A catalog
-        commit therefore changes the fingerprint and the cached result
-        is a natural miss — the stale entry ages out via eviction/TTL
-        (and invalidate_table eagerly drops the ``__plan#`` entries
-        whose plan read the invalidated table, per _plan_tables).
-        Conservative: *all* catalog tables are folded in, not only the
-        plan's participants, so an unrelated commit costs one re-run."""
+        with the snapshot ids of the catalog-backed tables the plan
+        actually READS (``_plan_tables``). A commit to a participant
+        changes the fingerprint and the cached result is a natural miss
+        — the stale entry ages out via eviction/TTL (and
+        invalidate_table eagerly drops the ``__plan#`` entries whose
+        plan read the invalidated table); a commit to an UNRELATED
+        catalog table leaves the fingerprint intact, so the cached
+        result keeps serving. If the participant walk fails, ALL
+        catalog snapshots fold in — unrelated commits then cost one
+        re-run, never a stale hit."""
         plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
         base = str(plan.canonicalized().semanticHash())
         catalogs = getattr(self, "_catalogs", {})
         if not catalogs:
             return base
-        snaps = ",".join(f"{t}={self._snapshot_of(t)}" for t in sorted(catalogs))
+        participants = self._plan_tables(df)
+        salted = (
+            sorted(catalogs)
+            if participants is None
+            else sorted(t for t in catalogs if t in participants)
+        )
+        if not salted:
+            return base
+        snaps = ",".join(f"{t}={self._snapshot_of(t)}" for t in salted)
         return f"{base}|{snaps}"
 
     # -- point lookups with bloom skip (C11 consulted for real) -------------

@@ -204,19 +204,25 @@ def test_sql_ticket_adaptive_parity_multi_partition(spark, sf_dir):
         "SELECT /*+ REPARTITION(8) */ l_orderkey, l_partkey, l_quantity "
         "FROM lineitem_fp"
     )
-    want = engine.sql(sql).toArrow()
-    results = {}
-    for label, thresh in (("materialized", 1 << 30), ("streaming", 0)):
-        srv = SparkFlightServer(
-            engine, "grpc://127.0.0.1:0", materialize_below_bytes=thresh
-        )
-        serve_background(srv)
-        try:
-            got = query_sql(f"grpc://127.0.0.1:{srv.port}", sql)
-            assert engine.sql(sql).rdd.getNumPartitions() > 1
-            results[label] = got.cast(want.schema)
-        finally:
-            srv.shutdown()
-    sort = [("l_orderkey", "ascending"), ("l_partkey", "ascending")]
-    assert results["materialized"].sort_by(sort).equals(want.sort_by(sort))
-    assert results["streaming"].sort_by(sort).equals(want.sort_by(sort))
+    try:
+        want = engine.sql(sql).toArrow()
+        results = {}
+        for label, thresh in (("materialized", 1 << 30), ("streaming", 0)):
+            srv = SparkFlightServer(
+                engine, "grpc://127.0.0.1:0", materialize_below_bytes=thresh
+            )
+            serve_background(srv)
+            try:
+                got = query_sql(f"grpc://127.0.0.1:{srv.port}", sql)
+                assert engine.sql(sql).rdd.getNumPartitions() > 1
+                results[label] = got.cast(want.schema)
+            finally:
+                srv.shutdown()
+        sort = [("l_orderkey", "ascending"), ("l_partkey", "ascending")]
+        assert results["materialized"].sort_by(sort).equals(want.sort_by(sort))
+        assert results["streaming"].sort_by(sort).equals(want.sort_by(sort))
+    finally:
+        # the engine's cache persisted lineitem; a leaked InMemoryRelation
+        # would get substituted into OTHER tests' scans (Spark caches by
+        # semantic plan equality), wrecking their column-pruning plans
+        engine.cache.clear()

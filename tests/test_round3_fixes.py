@@ -51,57 +51,53 @@ def test_q96_emits_only_scalar_columns(spark, sf_dir):
 
 
 def test_registry_orders_stalest_evidence_first():
-    """Round-4 protocol: every corpus query now has a driver row, so the
-    leading tier is the STALEST evidence — round-1-certified queries not
-    re-certified since (two rounds of shared-operator churn) — followed
-    by stale r2, rows-only (all re-recorded r3), then r3-fresh."""
+    """Round-5 protocol: the leading tier is new-unverified queries,
+    then the STALEST certified evidence — round-2-certified names not
+    re-certified in r3/r4 — then rows-only, then r3/r4-fresh. (The r1
+    tier emptied in round 4, which re-certified all 47 remaining
+    names.)"""
     from iceberg_cache_spark.plans import (
         DRIVER_VERIFIED_R1,
         DRIVER_VERIFIED_R2,
         DRIVER_VERIFIED_R3,
+        DRIVER_VERIFIED_R4,
         ORACLE,
         QUERIES,
     )
 
     names = list(QUERIES)
-    new_unverified = [
-        n
-        for n in names
-        if n in ORACLE
-        and n not in DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2 | DRIVER_VERIFIED_R3
-    ]
-    r1_stale = [
-        n for n in names if n in DRIVER_VERIFIED_R1 and n not in DRIVER_VERIFIED_R3
-    ]
+    certified = (
+        DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2 | DRIVER_VERIFIED_R3 | DRIVER_VERIFIED_R4
+    )
+    fresh_set = DRIVER_VERIFIED_R3 | DRIVER_VERIFIED_R4
+    new_unverified = [n for n in names if n in ORACLE and n not in certified]
     r2_stale = [
         n
         for n in names
-        if n in DRIVER_VERIFIED_R2 - DRIVER_VERIFIED_R1
-        and n not in DRIVER_VERIFIED_R3
+        if n in ORACLE and n in DRIVER_VERIFIED_R2 and n not in fresh_set
+    ]
+    r1_stale = [
+        n
+        for n in names
+        if n in ORACLE
+        and n in DRIVER_VERIFIED_R1
+        and n not in DRIVER_VERIFIED_R2
+        and n not in fresh_set
     ]
     rows_only = [n for n in names if n not in ORACLE]
-    fresh = [
-        n for n in names if n in DRIVER_VERIFIED_R3 and n in ORACLE
-    ]
-    # tiers are contiguous and in staleness order
-    k0, k1, k2, k3 = (
-        len(new_unverified),
-        len(r1_stale),
-        len(r2_stale),
-        len(rows_only),
-    )
+    fresh = [n for n in names if n in ORACLE and n in fresh_set]
+    assert r1_stale == []  # r4 re-certified the whole r1 tier
+    k0, k1, k2 = len(new_unverified), len(r2_stale), len(rows_only)
     assert names[:k0] == new_unverified
-    assert names[k0 : k0 + k1] == r1_stale
-    assert names[k0 + k1 : k0 + k1 + k2] == r2_stale
-    assert names[k0 + k1 + k2 : k0 + k1 + k2 + k3] == rows_only
-    assert names[k0 + k1 + k2 + k3 :] == fresh
-    assert len(names) == k0 + k1 + k2 + k3 + len(fresh)
-    # the driver's ~50-row window re-certifies >=40 stale-r1 names
-    # (round-3 verdict item 2)
-    assert k0 + k1 >= 40 or k1 == len(
-        [n for n in DRIVER_VERIFIED_R1 if n not in DRIVER_VERIFIED_R3]
-    )
-    assert sum(1 for n in names[:50] if n in r1_stale) >= min(40, k1)
+    assert names[k0 : k0 + k1] == r2_stale
+    assert names[k0 + k1 : k0 + k1 + k2] == rows_only
+    assert names[k0 + k1 + k2 :] == fresh
+    assert len(names) == k0 + k1 + k2 + len(fresh)
+    # the driver's ~50-row window must cover every stale-r2 name
+    # (round-4 verdict item 3: no evidence older than two rounds after r5)
+    assert sum(1 for n in names[:50] if n in r2_stale) >= min(40, k1)
+    # new queries never push the stale tier out of the window
+    assert k0 + k1 <= 50
 
 
 # -- 3. grouped z-score: relational default ------------------------------

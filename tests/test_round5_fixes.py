@@ -281,6 +281,7 @@ def test_plan_cache_survives_unrelated_invalidation(spark, sf_dir):
 
     engine.invalidate_table("pp_b")
     assert not [k for k in engine.cache.keys() if k.startswith("__plan#")]
+    engine.cache.clear()  # don't leak InMemoryRelations into later tests
 
 
 def test_plan_cache_untracked_entries_still_drop(spark, sf_dir):
@@ -304,6 +305,7 @@ def test_plan_cache_untracked_entries_still_drop(spark, sf_dir):
     engine._plan_participants[key2] = None  # simulate walker failure
     engine.invalidate_table("pp_c")
     assert not [k for k in engine.cache.keys() if k.startswith("__plan#")]
+    engine.cache.clear()  # don't leak InMemoryRelations into later tests
 
 
 # ---------------------------------------------------------------------------
@@ -331,3 +333,32 @@ def test_events_ts_unknown_type_raises(spark, tmp_path):
     pq.write_table(bad, str(d / "events.parquet"))
     with pytest.raises(ValueError, match="unexpected parquet type"):
         load_table(spark, str(d), "events")
+
+
+def test_plan_fingerprint_salts_only_participants(spark, tmp_path):
+    """A commit to an unrelated catalog table must NOT change a cached
+    plan's fingerprint (the result keeps serving); a commit to a
+    participant must (natural miss)."""
+    from iceberg_cache_spark.cache import CacheManager
+    from iceberg_cache_spark.engine import CachedQueryEngine
+    from iceberg_cache_spark.sources.catalog import SnapshotParquetCatalog
+
+    engine = CachedQueryEngine(spark, CacheManager(capacity_bytes=10**9))
+    cat = SnapshotParquetCatalog(spark, str(tmp_path / "fpcat"))
+    cat.write_snapshot("fp_x", spark.range(5).withColumnRenamed("id", "x"))
+    cat.write_snapshot("fp_y", spark.range(5).withColumnRenamed("id", "y"))
+    engine.register_catalog_table(cat, "fp_x")
+    engine.register_catalog_table(cat, "fp_y")
+
+    q = "SELECT count(*) AS n FROM fp_y"
+    fp_before = engine._plan_fingerprint(engine.sql(q))
+    cat.write_snapshot("fp_x", spark.range(3).withColumnRenamed("id", "x"))
+    engine._registered.clear()  # force view re-resolution
+    fp_after_unrelated = engine._plan_fingerprint(engine.sql(q))
+    assert fp_before == fp_after_unrelated
+
+    cat.write_snapshot("fp_y", spark.range(3).withColumnRenamed("id", "y"))
+    engine._registered.clear()
+    fp_after_participant = engine._plan_fingerprint(engine.sql(q))
+    assert fp_after_participant != fp_before
+    engine.cache.clear()
