@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from iceberg_cache_spark.operators.materialize import materialize
 from iceberg_cache_spark.operators.text import tokens
 
 
@@ -159,14 +160,15 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, est_jaccard) above threshold.
 
-    The signature table is materialized once (localCheckpoint): it
+    The signature table is materialized once (``materialize``: reliable
+    checkpoint on clusters, localCheckpoint locally): it
     feeds banding plus both verify sides, and an unmaterialized plan
     recomputes the 64-minhash aggregation — the dominant cost — per
     consumer (4 corpus passes in the audited plan)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_k
-    ).localCheckpoint()
+    sig = materialize(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    )
     cand = lsh_candidate_pairs(sig, id_col, bands, rows)
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -242,7 +244,7 @@ def simhash_pairs(
       same chunk values). Pairs whose ONLY shared chunk is a dropped
       mega-bucket are lost — bounded, documented recall cost on a
       declared-approximate operator."""
-    sim = simhash64(df, id_col, text_col).localCheckpoint()
+    sim = materialize(simhash64(df, id_col, text_col))
     chunks = sim.select(
         F.col(id_col),
         F.col("simhash"),
@@ -321,7 +323,7 @@ def ngram_jaccard_pairs(
     # 100M distinct grams — negligible vs. the bandwidth saved)
     # explode_outer + null-filter: see minhash_signatures comment
     #
-    # localCheckpoint: the gram-posting list feeds FIVE consumers
+    # materialize-once: the gram-posting list feeds FIVE consumers
     # (dfreq, the df-cap join, sizes, both self-join sides); without
     # materialization Catalyst re-tokenizes and re-shingles the corpus
     # once per consumer (~20 scans, zero ReusedExchange in the audited
@@ -333,8 +335,8 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("g"))
         .filter(F.col("g").isNotNull())
         .select(id_col, F.xxhash64("g").alias("gh"))
-        .localCheckpoint()
     )
+    grams = materialize(grams)
     gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
     kept = grams.join(gram_df.filter(F.col("dfreq") <= max_doc_freq), "gh").select(
         id_col, "gh"
@@ -406,7 +408,7 @@ def ngram_jaccard_pairs_ppjoin(
     integer — a float ⌈t·sz⌉ can round up past the true value and
     silently drop qualifying pairs.
 
-    The posting list is localCheckpoint-materialized once: it feeds six
+    The posting list is materialized once: it feeds six
     consumers (dfreq, rank, sizes, both verify sides) and an
     unmaterialized plan re-tokenizes the corpus per consumer (audited:
     ~20 scans, no ReusedExchange). See ngram_jaccard_pairs.
@@ -416,8 +418,8 @@ def ngram_jaccard_pairs_ppjoin(
         .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("g"))
         .filter(F.col("g").isNotNull())
         .select(id_col, F.xxhash64("g").alias("gh"))
-        .localCheckpoint()
     )
+    grams = materialize(grams)
     gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
     ranked = grams.join(gram_df, "gh").withColumn(
         "rnk",
@@ -523,13 +525,14 @@ def connected_components(
     present, the minimum label floods a component in at most its
     diameter — near-dup clusters are shallow (dozens of hops at the
     extreme), so convergence is a handful of iterations, never O(n).
-    ``localCheckpoint`` truncates the growing lineage each round so the
-    plan doesn't deepen exponentially (on a real cluster prefer
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-    fault-tolerant truncation). The early-exit convergence probe is an
+    ``materialize`` truncates the growing lineage each round so the
+    plan doesn't deepen exponentially (reliable ``checkpoint()`` when
+    the session opts in with spark.iceberg_cache.reliableCheckpoint +
+    a checkpoint dir — fault-tolerant on clusters; ``localCheckpoint``
+    otherwise). The early-exit convergence probe is an
     aggregate (``limit(1).count()``), not a driver collect.
 
-    ``pairs`` is materialized ONCE up front (``localCheckpoint``):
+    ``pairs`` is materialized ONCE up front (``materialize``):
     upstream pair emitters are typically the most expensive plan in the
     job (inverted-index joins), and a lazy edge list would re-run that
     plan inside every iteration of the loop.
@@ -552,8 +555,8 @@ def connected_components(
         .union(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
-        .localCheckpoint()
     )
+    edges = materialize(edges)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -569,8 +572,8 @@ def connected_components(
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("cid").alias("cid"))
-            .localCheckpoint()
         )
+        new = materialize(new)
         changed = (
             new.join(labels.select("id", F.col("cid").alias("prev")), "id")
             .filter(F.col("cid") < F.col("prev"))
@@ -641,8 +644,8 @@ def incremental_dedup_flags(
         .select(F.col(id_col), "_side", F.explode_outer(F.col("_sh")).alias("g"))
         .filter(F.col("g").isNotNull())
         .select(id_col, "_side", F.xxhash64("g").alias("gh"))
-        .localCheckpoint()
     )
+    grams = materialize(grams)
     gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
     kept = grams.join(
         gram_df.filter(F.col("dfreq") <= max_doc_freq), "gh"
@@ -712,8 +715,8 @@ def connected_components_star(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
+    e = materialize(e)
     if e.rdd.isEmpty():
         return e.select(F.col("u").alias("id"), F.col("v").alias("cid"))
 
@@ -753,9 +756,8 @@ def connected_components_star(
             .unionByName(nm2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
-        e = small
+        e = materialize(small)
         fp = _fingerprint(e)
         if fp == prev:
             break

@@ -362,3 +362,38 @@ def test_plan_fingerprint_salts_only_participants(spark, tmp_path):
     fp_after_participant = engine._plan_fingerprint(engine.sql(q))
     assert fp_after_participant != fp_before
     engine.cache.clear()
+
+
+def test_materialize_reliable_checkpoint_opt_in(spark, tmp_path):
+    """materialize() uses a RELIABLE checkpoint (survives executor
+    loss) when the session opts in and a checkpoint dir exists, and
+    localCheckpoint otherwise — same data either way."""
+    import os
+
+    from iceberg_cache_spark.operators.materialize import (
+        RELIABLE_CONF,
+        materialize,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "x")
+    out = materialize(df)
+    assert out.count() == 100  # default path: localCheckpoint
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set(RELIABLE_CONF, "true")
+    try:
+        out2 = materialize(spark.range(100).withColumnRenamed("id", "x"))
+        assert out2.count() == 100
+        found = any(files for _, _, files in os.walk(ckpt))
+        assert found, "no reliable checkpoint files written"
+        # the dedup tier rides the same switch end-to-end
+        from iceberg_cache_spark.operators import dedup as D
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+        )
+        labels = {r.id: r.cid for r in D.connected_components_star(pairs).collect()}
+        assert labels == {i: 0 for i in range(11)}
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")
