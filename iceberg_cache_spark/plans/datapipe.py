@@ -234,6 +234,55 @@ from iceberg_cache_spark.plans.extensions import _DUCK_TOKS  # noqa: E402
 from iceberg_cache_spark.plans.registry import ORACLE  # noqa: E402
 
 
+@declared(
+    "q154_normalized_dedup",
+    """WITH norm AS (
+         SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM documents),
+       reps AS (SELECT fp, MIN(doc_id) AS rep_id FROM norm GROUP BY fp)
+       SELECT n.doc_id, r.rep_id,
+              CAST(CASE WHEN n.doc_id = r.rep_id THEN 1 ELSE 0 END AS INT)
+                AS keep
+       FROM norm n JOIN reps r USING (fp)
+       ORDER BY n.doc_id""",
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-insensitive exact dedup (the FineWeb/C4 preprocessing
+    step BEFORE fingerprinting): lowercase, strip non-alphanumerics,
+    collapse whitespace, then md5 → keep the min-doc_id representative
+    per normalized fingerprint. Catches the case/punctuation/spacing
+    variants plain md5 dedup (q60) misses. Plan: scan-local string
+    normalization (whole-stage codegen) + one hash aggregate on the
+    16-byte fingerprint + a fingerprint join-back — two shuffles on
+    high-cardinality keys, no text ever shuffled twice."""
+    d = T(spark, sf, "documents")
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    norm = d.select("doc_id", fp.alias("fp"))
+    reps = norm.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    return (
+        norm.join(reps, "fp")
+        .select(
+            "doc_id",
+            "rep_id",
+            F.when(F.col("doc_id") == F.col("rep_id"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @declared("q148_dedup_clusters_star", ORACLE["q116_dedup_clusters"])
 def q148(spark: SparkSession, sf: str) -> DataFrame:
     """Same declared result as q116 (duplicate clusters of the exact

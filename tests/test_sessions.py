@@ -122,3 +122,26 @@ def test_semdedup_pairs_found_on_planted_near_dups(spark):
     assert n >= 20  # ~45 planted copies; LSH at 16 buckets finds most
     sims = [r.sim for r in pairs.collect()]
     assert all(s >= 0.9 for s in sims)
+
+
+def test_normalized_dedup_catches_variants(spark, tmp_path):
+    """Case / punctuation / whitespace variants collapse to one
+    fingerprint; genuinely different text survives (q154)."""
+    from iceberg_cache_spark.plans import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello, World!"),
+            (1, "hello   world"),
+            (2, "HELLO WORLD."),
+            (3, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    d = tmp_path / "normdedup"
+    docs.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        r.doc_id: (r.rep_id, r.keep)
+        for r in QUERIES["q154_normalized_dedup"](spark, str(d)).collect()
+    }
+    assert got == {0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (3, 1)}
