@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 from iceberg_cache_spark.operators import dedup as _D
 from iceberg_cache_spark.operators import similarity as _S
+from iceberg_cache_spark.operators.text import tokens as _tokens
+from iceberg_cache_spark.plans.extensions import _DUCK_TOKS
 from iceberg_cache_spark.plans.registry import declared
 from iceberg_cache_spark.sources.testdata import load_table as T
 
@@ -163,4 +165,182 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("dv").over(w).cast("decimal(38,2)").alias("sum_1h"),
         )
         .orderBy("event_id")
+    )
+
+
+@declared(
+    "q155_tfidf_top_terms",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY 1),
+       dfq AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n FROM documents),
+       scored AS (
+         SELECT doc_id, term,
+                ROUND((c / CAST(len AS DOUBLE))
+                      * ln(n / CAST(df AS DOUBLE)), 6) AS score
+         FROM tc JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n),
+       ranked AS (
+         SELECT doc_id, term, score,
+                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS BIGINT) AS rnk
+         FROM scored)
+       SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= 3
+       ORDER BY doc_id, rnk""",
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF top-3 characteristic terms per document — the classic
+    keyword-extraction pass of a text pipeline. tf = term count /
+    doc length (multiset counts), idf = ln(N / doc-frequency); the
+    score is ROUNDED to 6 decimals BEFORE ranking so rank order can't
+    depend on sub-ulp ln() differences between engines (ties then break
+    on the term string). Plan shape: one exploded-token aggregate
+    (hash agg, map-side combine), the per-term df table joined back,
+    the 1-row corpus count broadcast, top-k per doc via window rank —
+    shuffles on (doc, term) / term / doc, all high-cardinality."""
+    d = T(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    dfq = tc.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tc.join(dl, "doc_id")
+        .join(dfq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("c") / F.col("len").cast("double"))
+                * F.log(F.col("n") / F.col("df").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@declared(
+    "q156_session_funnel",
+    f"""WITH ev AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         FROM events),
+       gaps AS (
+         SELECT user_id, event_id, event_type, us,
+                CASE WHEN us - LAG(us) OVER w > {SESSION_GAP_US}
+                       OR LAG(us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       sess AS (
+         SELECT user_id, event_id, event_type, us,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM gaps),
+       flag1 AS (
+         SELECT user_id, session_id, event_type, us, event_id,
+                MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id, session_id
+                        ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS seen_view
+         FROM sess),
+       flag2 AS (
+         SELECT user_id, session_id, event_type, us, event_id, seen_view,
+                MAX(CASE WHEN event_type = 'click' AND seen_view = 1
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id, session_id
+                        ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS click_after_view
+         FROM flag1),
+       flag3 AS (
+         SELECT user_id, session_id, event_type, seen_view, click_after_view,
+                MAX(CASE WHEN event_type = 'purchase'
+                              AND click_after_view = 1
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id, session_id
+                        ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS purchase_after
+         FROM flag2)
+       SELECT user_id, session_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(MAX(seen_view) AS INT) AS reached_view,
+              CAST(MAX(click_after_view) AS INT) AS reached_click,
+              CAST(MAX(purchase_after) AS INT) AS reached_purchase
+       FROM flag3 GROUP BY user_id, session_id
+       ORDER BY user_id, session_id""",
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-scoped ORDERED funnel: within each 30-min-gap session,
+    did the user view -> (then) click -> (then) purchase, in event
+    order? Running-max window flags make each stage conditional on the
+    previous stage having already happened EARLIER IN THE SAME SESSION
+    — the semantics product funnels actually need, and the composition
+    of q152 (sessions) with q130 (funnel) neither covers alone.
+
+    Plan shape: session ids ride the user_id windows, and Catalyst
+    recognizes that hashpartitioning(user_id) already clusters the
+    (user_id, session_id) stage-flag windows and the final aggregate —
+    the whole query is ONE hash shuffle regardless of corpus size
+    (plan-guarded), never an event-to-event self-join."""
+    e = T(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wu = W.partitionBy("user_id").orderBy("us", "event_id")
+    ev = e.select("user_id", "event_id", "event_type", us.alias("us"))
+    gaps = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("us") - F.lag("us").over(wu) > SESSION_GAP_US)
+            | F.lag("us").over(wu).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    ws = (
+        W.partitionBy("user_id", "session_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    flag1 = sess.withColumn(
+        "seen_view",
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(ws),
+    )
+    flag2 = flag1.withColumn(
+        "click_after_view",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("seen_view") == 1), 1
+            ).otherwise(0)
+        ).over(ws),
+    )
+    flag3 = flag2.withColumn(
+        "purchase_after",
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("click_after_view") == 1),
+                1,
+            ).otherwise(0)
+        ).over(ws),
+    )
+    return (
+        flag3.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("seen_view").cast("int").alias("reached_view"),
+            F.max("click_after_view").cast("int").alias("reached_click"),
+            F.max("purchase_after").cast("int").alias("reached_purchase"),
+        )
+        .orderBy("user_id", "session_id")
     )

@@ -235,6 +235,7 @@ def test_expensive_tier_plan_shape(spark, sf_dir, name, max_exchanges, max_parqu
     [
         ("q152_sessionization", 1),  # both windows + groupBy share user_id
         ("q153_rolling_window", 1),  # RANGE frame rides one user_id shuffle
+        ("q156_session_funnel", 1),  # session windows reuse user_id clustering
     ],
 )
 def test_event_window_single_shuffle(spark, sf_dir, name, max_hash_exchanges):

@@ -145,3 +145,65 @@ def test_normalized_dedup_catches_variants(spark, tmp_path):
         for r in QUERIES["q154_normalized_dedup"](spark, str(d)).collect()
     }
     assert got == {0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (3, 1)}
+
+
+def test_session_funnel_ordered_semantics(spark, tmp_path):
+    """Funnel stages are ORDER-sensitive within the session: purchase
+    before the click (or click before the view) must not count; a new
+    session resets the funnel."""
+    rows = [
+        # u1 session 1: view -> click -> purchase (full funnel)
+        (0, 1, 0, "view"), (1, 1, 1, "click"), (2, 1, 2, "purchase"),
+        # u2: purchase BEFORE click, click BEFORE view: only view reached
+        (3, 2, 0, "purchase"), (4, 2, 1, "click"), (5, 2, 2, "view"),
+        # u3 session 1: view+click; session 2 (40 min later): purchase
+        # alone - funnel does NOT carry across sessions
+        (6, 3, 0, "view"), (7, 3, 1, "click"), (8, 3, 45, "purchase"),
+    ]
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, base + _dt.timedelta(minutes=m), uid, et, 1.0, "{}")
+            for eid, uid, m, et in rows
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    from iceberg_cache_spark.plans import QUERIES
+
+    d = tmp_path / "funnel"
+    df.write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {
+        (r.user_id, r.session_id): (r.reached_view, r.reached_click, r.reached_purchase)
+        for r in QUERIES["q156_session_funnel"](spark, str(d)).collect()
+    }
+    assert got == {
+        (1, 1): (1, 1, 1),
+        (2, 1): (1, 0, 0),
+        (3, 1): (1, 1, 0),
+        (3, 2): (0, 0, 0),
+    }
+
+
+def test_tfidf_ranks_distinctive_terms(spark, tmp_path):
+    """A term unique to one doc outranks corpus-wide terms (idf=ln(N/1)
+    vs ln(1)=0 for everywhere-terms)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "common common zebra"),
+            (1, "common common common"),
+            (2, "common yak yak"),
+        ],
+        ["doc_id", "text"],
+    )
+    from iceberg_cache_spark.plans import QUERIES
+
+    d = tmp_path / "tfidf"
+    docs.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = QUERIES["q155_tfidf_top_terms"](spark, str(d)).collect()
+    top = {r.doc_id: r.term for r in out if r.rnk == 1}
+    assert top[0] == "zebra" and top[2] == "yak"
+    # 'common' appears in every doc: idf = ln(1) = 0 -> never outranks
+    zero = [r for r in out if r.term == "common"]
+    assert all(r.score == 0.0 for r in zero)
