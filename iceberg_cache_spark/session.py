@@ -93,6 +93,14 @@ def cluster_conf(
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # Runtime row-level filtering: inject a bloom filter built from
+        # the selective side of a join into the other side's scan —
+        # at 100 TB this prunes shuffle input for star-schema joins
+        # whose dim filters are only known at runtime. Thresholds are
+        # cluster-scale (creation side <=10 MB by default), so this is
+        # inert on local fixtures but load-bearing at target scale.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1GB",
         # streaming state at scale
         "spark.sql.streaming.stateStore.providerClass": (
             "org.apache.spark.sql.execution.streaming.state."

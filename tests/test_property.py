@@ -116,3 +116,83 @@ def test_random_joins_match_duckdb(spark, sf_dir, duck_join, case):
         sql = f"SELECT COUNT(*) FROM orders o WHERE o.o_custkey NOT IN ({sub})"
     want = duck_join.execute(sql).fetchone()[0]
     assert got == want, f"{jt} join mismatch at bal>{bal}: spark={got} duckdb={want}"
+
+
+# ---------------------------------------------------------------------------
+# Round 5: Jaccard threshold-boundary property — for ANY float threshold,
+# the Spark pair set equals the DISTINCT-gram DuckDB oracle (the class of
+# bug ADVICE r5 #1 found: binary-rounding thresholds pruning exact-
+# threshold pairs via the size prefilter).
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_oracle_pairs(texts, threshold):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS t(doc_id, text)"
+    )
+    rows = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        allgrams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+3 AS BIGINT)], ' ') AS g
+            FROM toks, UNNEST(range(greatest(len(t) - 2, 1))) AS u(i))),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM allgrams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM allgrams a JOIN allgrams b USING (g)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= {threshold!r}
+        """
+    ).fetchall()
+    con.close()
+    return set(map(tuple, rows))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    threshold=st.sampled_from([0.1, 0.2, 0.25, 0.3, 0.4, 0.5, 0.6, 0.7, 0.75]),
+    seed=st.integers(0, 10_000),
+)
+def test_jaccard_pairs_match_oracle_any_threshold(spark, threshold, seed):
+    import random as _random
+
+    from iceberg_cache_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = _random.Random(seed)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = []
+    for i in range(12):
+        if texts and rng.random() < 0.5:
+            # overlap-heavy variant of an earlier doc (exercises the
+            # size-ratio prefilter at many intersection/size ratios)
+            base = texts[rng.randrange(len(texts))].split()
+            cut = rng.randrange(1, len(base) + 1)
+            extra = [rng.choice(vocab) for _ in range(rng.randrange(0, 6))]
+            texts.append(" ".join(base[:cut] + extra))
+        else:
+            texts.append(
+                " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 25)))
+            )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, n=3, threshold=threshold, max_doc_freq=10**9
+        ).collect()
+    }
+    assert got == _jaccard_oracle_pairs(texts, threshold)
