@@ -23,11 +23,31 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 PDEC = "decimal(28,12)"
+
+# Implementation dial for the *candidate-generation* stages (LSH bucket
+# assignment, IVF cell assignment / probe selection):
+#   "arrow" (default) — Arrow-batched pandas_udf doing one float64 numpy
+#       matmul per batch. This is the 100 TB hot path: dense linear
+#       algebra is exactly what Catalyst's higher-order functions
+#       evaluate interpreted (~1 ms/vector for 16 centroids x 64 dims,
+#       measured in SCALE_r5.md), and what a BLAS matmul does in ~1 us.
+#   "fold" — pure Catalyst zip_with/aggregate folds with a fixed
+#       accumulation order: bit-reproducible across machines and kept as
+#       the reference implementation (and for plan-literal-only
+#       deployments where no Python workers exist).
+# The dial only moves WHICH candidates are generated; both paths feed
+# the same exact-decimal rescoring, and the operators' declared contract
+# is approximate (rows-only in the driver check). A vector whose
+# projection / centroid margin sits within ~1 ulp may bucket differently
+# between the two paths — that is inside the approximation contract.
+DEFAULT_IMPL = "arrow"
 
 
 def _exact_dot(a: Column, b: Column) -> Column:
@@ -110,19 +130,46 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _stack_batch(vs: pd.Series) -> np.ndarray:
+    """(B, dim) float64 matrix from an Arrow batch of array<float>."""
+    return np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+
+
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    impl: str | None = None,
 ) -> DataFrame:
     """Attach a sign-pattern LSH bucket id (int in [0, 2^n_planes)).
-    The sign test uses the double fold — deterministic, and exactness
-    doesn't matter for bucketing."""
+
+    impl="arrow": one (B, dim) x (dim, n_planes) float64 matmul per
+    Arrow batch — sign bits packed with a weight vector. impl="fold":
+    the Catalyst double-fold reference (fixed accumulation order).
+    Exactness doesn't matter for bucketing; see DEFAULT_IMPL."""
+    impl = impl or DEFAULT_IMPL
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        d = _fast_dot(F.col(vec_col), lit_plane)
-        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return df.withColumn("lsh_bucket", bucket)
+    if impl == "fold":
+        bucket = F.lit(0)
+        for i, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(x) for x in plane])
+            d = _fast_dot(F.col(vec_col), lit_plane)
+            bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return df.withColumn("lsh_bucket", bucket)
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("int")
+    def _bucket(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=np.int32)
+        signs = _stack_batch(vs) @ P.T >= 0.0  # (B, n_planes)
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int32))
+
+    return df.withColumn("lsh_bucket", _bucket(F.col(vec_col)))
 
 
 def lsh_cosine_topk(
@@ -134,15 +181,16 @@ def lsh_cosine_topk(
     query_id_col: str = "query_id",
     dim: int = 64,
     n_planes: int = 6,
+    impl: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket are
     scored. Recall < 1 by design; at 100 TB this turns a full-corpus
     scan per query into a bucket-pruned probe (buckets can be the
     table's partition key so pruning happens at the file level)."""
-    c = with_lsh_bucket(corpus, vec_col, dim, n_planes).select(
+    c = with_lsh_bucket(corpus, vec_col, dim, n_planes, impl=impl).select(
         id_col, vec_col, "lsh_bucket", _norm(F.col(vec_col)).alias("c_norm")
     )
-    q = with_lsh_bucket(queries, vec_col, dim, n_planes).select(
+    q = with_lsh_bucket(queries, vec_col, dim, n_planes, impl=impl).select(
         F.col(query_id_col),
         F.col(vec_col).alias("q_vec"),
         "lsh_bucket",
@@ -175,12 +223,13 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 4,
+    impl: str | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine ≥ threshold, LSH-bucketed
     so the self-join is per-bucket instead of n². Survivor pairs of a
     cheap double prefilter (threshold − 1e-6 margin) are rescored with
     the exact decimal dot before the final threshold test."""
-    b = with_lsh_bucket(df, vec_col, dim, n_planes).select(
+    b = with_lsh_bucket(df, vec_col, dim, n_planes, impl=impl).select(
         F.col(id_col), F.col(vec_col), "lsh_bucket", _norm(F.col(vec_col)).alias("nrm")
     )
     a = b.select(
@@ -222,30 +271,61 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _centroid_mats(
+    centroids: list[tuple[int, list[float]]]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ids, C, ||c||^2) in centroid-list order (ties keep list order,
+    matching the fold path's strict `<`)."""
+    ids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    C = np.asarray([c for _, c in centroids], dtype=np.float64)
+    return ids, C, (C * C).sum(axis=1)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     out: str = "ivf_cell",
+    impl: str | None = None,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (argmin L2 via the
-    double fold — deterministic). Centroids ship as plan literals."""
-    best_id, best_d = None, None
-    for cid, cvec in centroids:
-        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit_c, lambda x, y: (x.cast("double") - y) ** 2
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        if best_id is None:
-            best_id, best_d = F.lit(cid), d
-        else:
-            best_id = F.when(d < best_d, F.lit(cid)).otherwise(best_id)
-            best_d = F.least(d, best_d)
-    return df.withColumn(out, best_id)
+    """Assign each vector to its nearest centroid (argmin L2).
+
+    impl="arrow": per Arrow batch, argmin over ||c||^2 - 2 v.C^T (the
+    ||v||^2 term is constant per row) — one matmul instead of
+    n_cells x dim interpreted lambda steps per vector (SCALE_r5.md
+    measured the fold at ~1 ms/vector for 16x64). impl="fold": the
+    bit-reproducible Catalyst reference; centroids ship as plan
+    literals. Both break distance ties toward the earlier centroid in
+    list order."""
+    impl = impl or DEFAULT_IMPL
+    if impl == "fold":
+        best_id, best_d = None, None
+        for cid, cvec in centroids:
+            lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), lit_c, lambda x, y: (x.cast("double") - y) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            if best_id is None:
+                best_id, best_d = F.lit(cid), d
+            else:
+                best_id = F.when(d < best_d, F.lit(cid)).otherwise(best_id)
+                best_d = F.least(d, best_d)
+        return df.withColumn(out, best_id)
+
+    ids, C, cc = _centroid_mats(centroids)
+
+    @F.pandas_udf("int")
+    def _cell(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=np.int32)
+        score = cc[None, :] - 2.0 * (_stack_batch(vs) @ C.T)  # (B, m)
+        return pd.Series(ids[np.argmin(score, axis=1)].astype(np.int32))
+
+    return df.withColumn(out, _cell(F.col(vec_col)))
 
 
 def ivf_centroids_from_sample(
@@ -283,31 +363,50 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str | None = None,
 ) -> DataFrame:
     """IVF probe: score only corpus vectors in the query's ``n_probe``
     nearest cells. At 100 TB the corpus is *partitioned by ivf_cell*, so
     a probe is file-level pruning + a small scan, not a full pass."""
-    c = ivf_assign(corpus, centroids, vec_col).select(
+    impl = impl or DEFAULT_IMPL
+    c = ivf_assign(corpus, centroids, vec_col, impl=impl).select(
         id_col, vec_col, "ivf_cell", _norm(F.col(vec_col)).alias("c_norm")
     )
-    # query → its n_probe nearest centroids (explode into probe rows)
-    probe_structs = []
-    for cid, cvec in centroids:
-        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit_c, lambda x, y: (x.cast("double") - y) ** 2
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        probe_structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cell")))
-    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe)
+    # query → its n_probe nearest centroids (explode into probe rows);
+    # both impls order by (distance asc, cell id asc)
+    if impl == "fold":
+        probe_structs = []
+        for cid, cvec in centroids:
+            lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), lit_c, lambda x, y: (x.cast("double") - y) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            probe_structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cell")))
+        probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe)
+        probe_cells = F.transform(probes, lambda p: p["cell"])
+    else:
+        ids, C, cc = _centroid_mats(centroids)
+
+        @F.pandas_udf("array<int>")
+        def _probe(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            score = cc[None, :] - 2.0 * (_stack_batch(vs) @ C.T)  # (B, m)
+            # lexsort: primary key = distance (last), secondary = cell id
+            order = np.lexsort((np.broadcast_to(ids, score.shape), score))
+            picked = ids[order[:, :n_probe]].astype(np.int32)
+            return pd.Series(list(picked))
+
+        probe_cells = _probe(F.col(vec_col))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
-        F.explode(F.transform(probes, lambda p: p["cell"])).alias("ivf_cell"),
+        F.explode(probe_cells).alias("ivf_cell"),
     )
     scored = c.join(F.broadcast(q), "ivf_cell").select(
         query_id_col,

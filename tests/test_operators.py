@@ -284,3 +284,48 @@ def test_random_projection_shape_and_determinism(spark, vectors):
     a = {r.vec_id: (r.p0, r.p1, r.p2) for r in p1}
     b = {r.vec_id: (r.p0, r.p1, r.p2) for r in p2}
     assert a == b and len(a) == 4
+
+
+# -- arrow vs fold candidate-generation parity (round 5) --------------------
+#
+# The arrow (numpy-matmul pandas_udf) path is the 100 TB hot path; the
+# fold (Catalyst higher-order-function) path is the bit-reproducible
+# reference. On the fixture they must agree exactly — a divergence means
+# a real bug, not an ulp tie (random Gaussian data has no near-ties).
+
+
+def test_ivf_assign_arrow_matches_fold(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.ivf_centroids_from_sample(e, n_cells=8)
+    fold = {r.vec_id: r.ivf_cell
+            for r in S.ivf_assign(e, cents, impl="fold").select("vec_id", "ivf_cell").collect()}
+    arrow = {r.vec_id: r.ivf_cell
+             for r in S.ivf_assign(e, cents, impl="arrow").select("vec_id", "ivf_cell").collect()}
+    assert fold == arrow
+
+
+def test_lsh_bucket_arrow_matches_fold(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = {r.vec_id: r.lsh_bucket
+            for r in S.with_lsh_bucket(e, "embedding", 64, 6, impl="fold").select("vec_id", "lsh_bucket").collect()}
+    arrow = {r.vec_id: r.lsh_bucket
+             for r in S.with_lsh_bucket(e, "embedding", 64, 6, impl="arrow").select("vec_id", "lsh_bucket").collect()}
+    assert fold == arrow
+    # empty-relation robustness of the Arrow batch path
+    empty = e.filter("vec_id < 0")
+    assert S.with_lsh_bucket(empty, "embedding", 64, 6, impl="arrow").count() == 0
+
+
+def test_ivf_topk_arrow_matches_fold(spark):
+    from pyspark.sql import functions as F3
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.ivf_centroids_from_sample(e, n_cells=8)
+    q = e.filter(F3.col("vec_id") < 10).select(
+        F3.col("vec_id").alias("query_id"), "embedding"
+    )
+    fold = {(r.query_id, r.vec_id, r.sim, r.rnk)
+            for r in S.ivf_cosine_topk(e, q, cents, k=5, n_probe=4, impl="fold").collect()}
+    arrow = {(r.query_id, r.vec_id, r.sim, r.rnk)
+             for r in S.ivf_cosine_topk(e, q, cents, k=5, n_probe=4, impl="arrow").collect()}
+    assert fold == arrow
