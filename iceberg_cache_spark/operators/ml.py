@@ -58,13 +58,18 @@ def cluster_balanced_sample(
     k: int = 8,
     per_cluster: int = 10,
     seed: int = 42,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """Diversity sampling: cluster the embedding space, then keep at
     most ``per_cluster`` rows per cluster (deterministic min-id order) —
     cluster-balanced selection flattens the corpus's density skew so
     over-represented modes don't dominate the training mix. One window
-    shuffle on the cluster key after the scan-local assignment."""
-    clustered = kmeans_clusters(df, vec_col, id_col, k=k, seed=seed)
+    shuffle on the cluster key after the scan-local assignment.
+    ``fit_fraction`` < 1 trains centroids on a sample (the 100 TB
+    path) while still assigning and sampling over every row."""
+    clustered = kmeans_clusters(
+        df, vec_col, id_col, k=k, seed=seed, fit_fraction=fit_fraction
+    )
     w = W.partitionBy("cluster").orderBy(id_col)
     return (
         clustered.withColumn("rn", F.row_number().over(w))
@@ -78,14 +83,23 @@ def quality_classifier_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    fit_cap_rows: int = 1_000_000,
 ) -> DataFrame:
     """Train-and-score quality classification: fit a logistic
     regression on the corpus's own Gopher rule outcomes (integer-exact
     labels from ``text.gopher_metrics``), then score every document
     with a calibrated probability — the FineWeb/DCLM pattern where a
     cheap model generalizes a rule-based seed signal. Features are the
-    four rule inputs; at 100 TB the fit runs on a sample and the
-    scoring transform is JVM-side over the scan."""
+    four rule inputs.
+
+    Fit-small/apply-big: when the corpus exceeds ``fit_cap_rows`` the
+    fit runs on a deterministic hash sample of ~that many rows
+    (xxhash64 of the id — partition-order-free, identical on any
+    cluster); EVERY row is still scored, and scoring is one JVM-side
+    transform over the scan (the fitted model is JVM code — no Python
+    in the hot path). LR coefficients from a million-row sample are
+    statistically indistinguishable from the full-corpus fit, so at
+    100 TB the train step stays O(cap), not O(corpus)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
@@ -105,10 +119,17 @@ def quality_classifier_scores(
         inputCols=["f_words", "f_maxshare", "f_meanlen", "f_stopratio"],
         outputCol="features",
     ).transform(feats)
+    n = docs.count()  # parquet-metadata count: no text parsing
+    fit_on = assembled
+    if n > fit_cap_rows:
+        fit_on = assembled.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(int(n)))
+            < F.lit(int(fit_cap_rows))
+        )
     lr = LogisticRegression(
         featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
     )
-    model = lr.fit(assembled)
+    model = lr.fit(fit_on)
     scored = model.transform(assembled)
     p1 = F.element_at(vector_to_array(F.col("probability")), 2)  # P(label=1)
     return scored.select(

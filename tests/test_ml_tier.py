@@ -78,3 +78,19 @@ def test_cluster_assignment_covers_all_rows(spark, sf_dir):
     got = kmeans_clusters(e, k=4, seed=42)
     assert got.count() == e.count()
     assert got.select("cluster").distinct().count() <= 4
+
+
+def test_quality_classifier_fit_cap_still_separates(spark, sf_dir):
+    # fit-small/apply-big: cap the fit at half the corpus — every row is
+    # still scored and the learned rule still separates pass from fail
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+    scored = quality_classifier_scores(d, fit_cap_rows=max(10, n // 2))
+    rows = scored.collect()
+    assert len(rows) == n  # apply-big: every doc scored
+    import statistics
+
+    p_pass = [r.quality_prob for r in rows if r.rule_pass == 1]
+    p_fail = [r.quality_prob for r in rows if r.rule_pass == 0]
+    assert p_pass and p_fail
+    assert statistics.mean(p_pass) > statistics.mean(p_fail) + 0.2
