@@ -131,8 +131,31 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def _stack_batch(vs: pd.Series) -> np.ndarray:
-    """(B, dim) float64 matrix from an Arrow batch of array<float>."""
-    return np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+    """(B, dim) float64 matrix from an Arrow batch of array<float>.
+
+    Raises a diagnosable error on null / ragged vectors: at scale one
+    bad row would otherwise kill the stage with numpy's opaque
+    "all input arrays must have the same shape"."""
+    if vs.isna().values.any():
+        raise ValueError(
+            "embedding column contains a NULL vector in this Arrow batch; "
+            "filter nulls upstream (or use impl='fold')"
+        )
+    try:
+        m = np.stack(vs.to_numpy())
+    except (ValueError, TypeError) as exc:
+        raise ValueError(
+            "embedding column contains a NULL or ragged-length vector in "
+            "this Arrow batch; filter nulls / enforce a fixed dim upstream "
+            f"(or use impl='fold'): {exc}"
+        ) from None
+    if m.ndim != 2:
+        raise ValueError(
+            "embedding column is not a fixed-dim array<float> in this "
+            "Arrow batch (stacked shape %r); enforce a fixed dim upstream"
+            % (m.shape,)
+        )
+    return m.astype(np.float64, copy=False)
 
 
 def with_lsh_bucket(

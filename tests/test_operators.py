@@ -329,3 +329,12 @@ def test_ivf_topk_arrow_matches_fold(spark):
     arrow = {(r.query_id, r.vec_id, r.sim, r.rnk)
              for r in S.ivf_cosine_topk(e, q, cents, k=5, n_probe=4, impl="arrow").collect()}
     assert fold == arrow
+
+
+def test_arrow_path_null_embedding_raises_diagnosable(spark):
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception) as ei:
+        S.with_lsh_bucket(df, "embedding", 2, 3, impl="arrow").collect()
+    assert "NULL" in str(ei.value) and "filter nulls upstream" in str(ei.value)
