@@ -196,3 +196,39 @@ def test_jaccard_pairs_match_oracle_any_threshold(spark, threshold, seed):
         ).collect()
     }
     assert got == _jaccard_oracle_pairs(texts, threshold)
+
+
+# -- arrow vs fold candidate-generation parity under random vectors --------
+#
+# Generalizes the fixture parity tests: on random (tie-free) float
+# vectors, the Arrow matmul path and the Catalyst fold path must
+# produce identical IVF assignments and LSH buckets. (Exact distance
+# ties are excluded by construction — random draws hit them with
+# probability 0 — because the two formulations round differently at
+# the ulp and the approximation contract allows either side of a tie.)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 2**31 - 1))
+def test_ivf_and_lsh_arrow_fold_parity_random(spark, seed):
+    import random as _random
+
+    from iceberg_cache_spark.operators import similarity as S
+
+    rng = _random.Random(seed)
+    dim = 8
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = [(c, [rng.uniform(-1, 1) for _ in range(dim)]) for c in range(4)]
+    fold = {r.vec_id: r.ivf_cell
+            for r in S.ivf_assign(df, cents, impl="fold").collect()}
+    arrow = {r.vec_id: r.ivf_cell
+             for r in S.ivf_assign(df, cents, impl="arrow").collect()}
+    assert fold == arrow
+    bf = {r.vec_id: r.lsh_bucket
+          for r in S.with_lsh_bucket(df, "embedding", dim, 5, seed=seed % 97, impl="fold").collect()}
+    ba = {r.vec_id: r.lsh_bucket
+          for r in S.with_lsh_bucket(df, "embedding", dim, 5, seed=seed % 97, impl="arrow").collect()}
+    assert bf == ba
