@@ -338,3 +338,35 @@ def test_arrow_path_null_embedding_raises_diagnosable(spark):
     with pytest.raises(Exception) as ei:
         S.with_lsh_bucket(df, "embedding", 2, 3, impl="arrow").collect()
     assert "NULL" in str(ei.value) and "filter nulls upstream" in str(ei.value)
+
+
+def test_rolling_time_agg_matches_naive_frame(spark):
+    from pyspark.sql import Window as W2
+
+    from iceberg_cache_spark.operators.rolling import rolling_time_agg
+
+    # dense bursts + exact boundary rows: an event exactly `width` before
+    # is IN the frame, `width+1` before is OUT; equal-ts peers share frames
+    rows = [
+        (1, 10, 0, 1.0), (2, 10, 50, 2.0), (3, 10, 100, 4.0),
+        (4, 10, 100, 8.0),          # ts peer of event 3
+        (5, 10, 200, 16.0),         # frame [100,200]: events 3,4,5
+        (6, 10, 301, 32.0),         # frame [201,301]: event 6 only
+        (7, 20, 100, 64.0),         # other user
+        (8, 20, 100, 128.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, us bigint, v double")
+    ev = df.select("event_id", "user_id", "us", F.col("v").cast("decimal(18,2)").alias("dv"))
+    got = {r.event_id: (r.n, float(r.s))
+           for r in rolling_time_agg(ev, 100, cnt_out="n", sum_out="s").collect()}
+    w = W2.partitionBy("user_id").orderBy("us").rangeBetween(-100, 0)
+    naive = {r.event_id: (r.n, float(r.s)) for r in ev.select(
+        "event_id",
+        F.count("*").over(w).alias("n"),
+        F.sum("dv").over(w).alias("s")).collect()}
+    assert got == naive
+    assert got[5] == (3, 28.0)   # boundary ts=100 included
+    assert got[6] == (1, 32.0)   # ts=200 excluded from [201,301]
+    # equal-ts peers share the frame; ts=0 sits exactly on the [0,100]
+    # boundary and is included
+    assert got[3] == got[4] == (4, 15.0)

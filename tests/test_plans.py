@@ -234,7 +234,6 @@ def test_expensive_tier_plan_shape(spark, sf_dir, name, max_exchanges, max_parqu
     "name,max_hash_exchanges",
     [
         ("q152_sessionization", 1),  # both windows + groupBy share user_id
-        ("q153_rolling_window", 1),  # RANGE frame rides one user_id shuffle
         ("q156_session_funnel", 1),  # session windows reuse user_id clustering
     ],
 )
@@ -253,3 +252,22 @@ def test_event_window_single_shuffle(spark, sf_dir, name, max_hash_exchanges):
         f"{name}: a join appeared in a pure window plan — rolling metric "
         "rewritten as a self-join?"
     )
+
+
+def test_rolling_window_prefix_sum_shape(spark, sf_dir):
+    """q153's audited-good shape (round-5 scale-probe fix): prefix
+    cumulative windows over a real+probe union with one join-back on
+    the event id. Two regressions to catch: (a) a BOUNDED sliding
+    RANGE frame reappearing — Spark evaluates those O(n x frame_width)
+    per partition, the quadratic the probe caught at x24 per x10 rows
+    on bursty data; (b) shuffle creep beyond the audited
+    window-shuffle + join-back (<=4 hash exchanges; the fixture plan
+    broadcasts the probe side)."""
+    plan = physical(spark, sf_dir, "q153_rolling_window")
+    assert "RangeFrame, -" not in plan, (
+        "a bounded sliding RANGE frame reappeared in q153 — that "
+        "formulation is O(n x frame_width) per partition (no retraction)"
+    )
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
