@@ -64,6 +64,12 @@ def main() -> None:
         ("q71_lsh_cosine_topk", QUERIES["q71_lsh_cosine_topk"]),
         ("q73_ivf_cosine_topk", QUERIES["q73_ivf_cosine_topk"]),
         ("q126_cluster_balanced_sample", QUERIES["q126_cluster_balanced_sample"]),
+        # event-analytics tier (events = 10x docs rows; the corpus whose
+        # burstiness exposed the q153 sliding-frame quadratic — see
+        # SCALE_r5.md and operators/rolling.py)
+        ("q152_sessionization", QUERIES["q152_sessionization"]),
+        ("q153_rolling_window", QUERIES["q153_rolling_window"]),
+        ("q156_session_funnel", QUERIES["q156_session_funnel"]),
     ]
     results: dict = {}
     for name, fn in probes:
