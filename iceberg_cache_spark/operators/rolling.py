@@ -47,7 +47,10 @@ def rolling_time_agg(
 ) -> DataFrame:
     """(id, part, us, cnt_out, sum_out): per-event exact count and
     DECIMAL sum over the inclusive ``[us - width_us, us]`` same-key
-    time frame. ``val_col`` must already be a DECIMAL column."""
+    time frame. ``val_col`` must already be a DECIMAL column, and
+    ``id_col`` must be unique per row (the probe join-back keys on it;
+    duplicate ids would fan out). Rows whose frame holds only NULL
+    values yield a 0 sum (not NULL — probes carry a zero literal)."""
     ev = events.select(part_col, id_col, us_col, val_col)
     real = ev.select(
         part_col,
