@@ -47,16 +47,23 @@ def rolling_time_agg(
 ) -> DataFrame:
     """(id, part, us, cnt_out, sum_out): per-event exact count and
     DECIMAL sum over the inclusive ``[us - width_us, us]`` same-key
-    time frame. ``val_col`` must already be a DECIMAL column, and
-    ``id_col`` must be unique per row (the probe join-back keys on it;
-    duplicate ids would fan out). Rows whose frame holds only NULL
-    values yield a 0 sum (not NULL — probes carry a zero literal)."""
+    time frame. ``val_col`` must already be a DECIMAL column, ``us_col``
+    must be non-null (a NULL time has no frame), and ``id_col`` must be
+    unique per row (the probe join-back keys on it; duplicate ids would
+    fan out). Rows whose frame holds only NULL values yield a NULL sum,
+    matching ``SUM(v) OVER w`` on both Spark and DuckDB: a third prefix
+    window counts non-null values, and the sum is emitted only when the
+    frame's non-null count is positive."""
     ev = events.select(part_col, id_col, us_col, val_col)
     real = ev.select(
         part_col,
         id_col,
         F.col(us_col).alias("_t"),
         F.lit(1).cast("long").alias("_c"),
+        F.when(F.col(val_col).isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_cn"),
         F.col(val_col).alias("_v"),
         F.lit(0).alias("_probe"),
         F.col(us_col),
@@ -67,6 +74,7 @@ def rolling_time_agg(
         id_col,
         (F.col(us_col) - F.lit(width_us) - F.lit(1)).alias("_t"),
         F.lit(0).cast("long").alias("_c"),
+        F.lit(0).cast("long").alias("_cn"),
         zero_v.alias("_v"),
         F.lit(1).alias("_probe"),
         F.col(us_col),
@@ -83,6 +91,7 @@ def rolling_time_agg(
         "_probe",
         F.col(us_col),
         F.sum("_c").over(w).alias("_cum_c"),
+        F.sum("_cn").over(w).alias("_cum_cn"),
         F.coalesce(F.sum("_v").over(w), zero_v).alias("_cum_v"),
     )
     at_event = cum.filter(F.col("_probe") == 0).select(
@@ -90,11 +99,13 @@ def rolling_time_agg(
         id_col,
         F.col(us_col),
         F.col("_cum_c").alias("_c1"),
+        F.col("_cum_cn").alias("_cn1"),
         F.col("_cum_v").alias("_v1"),
     )
     at_probe = cum.filter(F.col("_probe") == 1).select(
         F.col(id_col).alias("_pid"),
         F.col("_cum_c").alias("_c0"),
+        F.col("_cum_cn").alias("_cn0"),
         F.col("_cum_v").alias("_v0"),
     )
     return at_event.join(
@@ -104,5 +115,7 @@ def rolling_time_agg(
         id_col,
         us_col,
         (F.col("_c1") - F.col("_c0")).alias(cnt_out),
-        (F.col("_v1") - F.col("_v0")).alias(sum_out),
+        F.when(
+            F.col("_cn1") - F.col("_cn0") > 0, F.col("_v1") - F.col("_v0")
+        ).alias(sum_out),
     )

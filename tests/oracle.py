@@ -23,6 +23,10 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        # Planted test fixtures carry only the table(s) a query reads;
+        # the driver's sf dirs always have all ten.
+        if not os.path.exists(path):
+            continue
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
@@ -83,8 +87,11 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     sc = canonical_rows(s_cols, s_rows)
     dc = canonical_rows(d_cols, d_rows)
     if sc != dc:
+        import pyspark
+
         diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
         raise AssertionError(
             f"value mismatch ({sum(1 for a, b in zip(sc, dc) if a != b)} rows); "
-            f"first diffs (spark, duckdb): {diffs}"
+            f"first diffs (spark, duckdb): {diffs} "
+            f"[pyspark {pyspark.__version__}, duckdb {duckdb.__version__}]"
         )

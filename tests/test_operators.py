@@ -370,3 +370,47 @@ def test_rolling_time_agg_matches_naive_frame(spark):
     # equal-ts peers share the frame; ts=0 sits exactly on the [0,100]
     # boundary and is included
     assert got[3] == got[4] == (4, 15.0)
+
+
+def test_rolling_time_agg_null_values_match_sum_over(spark):
+    """NULL values: COUNT(*) still counts the row, but a frame whose
+    values are ALL NULL must yield a NULL sum (SUM-OVER semantics on
+    both Spark and DuckDB) — the round-5 driver-red contract fix.
+    Verified against Spark's own naive RANGE frame."""
+    from pyspark.sql import Window as W2
+
+    from iceberg_cache_spark.operators.rolling import rolling_time_agg
+
+    rows = [
+        (1, 10, 0, None),          # frame [−100,0]: all-NULL -> sum NULL
+        (2, 10, 50, None),         # frame [−50,50]: still all-NULL
+        (3, 10, 120, 4.0),         # mixed frame: NULL@50 + 4.0 -> 4.0
+        (4, 10, 400, None),        # isolated all-NULL frame after reals
+        (5, 20, 0, 1.0),           # other user, non-null baseline
+        (6, 20, 30, None),         # mixed frame [−70,30]: sum 1.0, n 2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, us bigint, v double"
+    )
+    ev = df.select(
+        "event_id", "user_id", "us",
+        F.col("v").cast("decimal(18,2)").alias("dv"),
+    )
+    got = {
+        r.event_id: (r.n, None if r.s is None else float(r.s))
+        for r in rolling_time_agg(ev, 100, cnt_out="n", sum_out="s").collect()
+    }
+    w = W2.partitionBy("user_id").orderBy("us").rangeBetween(-100, 0)
+    naive = {
+        r.event_id: (r.n, None if r.s is None else float(r.s))
+        for r in ev.select(
+            "event_id",
+            F.count("*").over(w).alias("n"),
+            F.sum("dv").over(w).alias("s"),
+        ).collect()
+    }
+    assert got == naive
+    assert got[1] == (1, None) and got[2] == (2, None)  # all-NULL frames
+    assert got[3] == (2, 4.0)                            # NULL ignored in sum
+    assert got[4] == (1, None)
+    assert got[6] == (2, 1.0)

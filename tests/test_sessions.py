@@ -72,6 +72,53 @@ def test_rolling_window_frame_edges(spark, tmp_path):
     assert got == {0: (1, 1.5), 1: (2, 4.0), 2: (2, 5.5)}
 
 
+def test_rolling_window_null_values_match_declared_oracle(spark, tmp_path):
+    """q153 on a NULL-bearing events fixture hash-matches its DECLARED
+    DuckDB oracle — the local gate the round-5 driver red lacked: the
+    fixture corpus has zero NULL `value`s, so the 0-vs-NULL all-NULL-
+    frame divergence was latent. Written as a single parquet FILE (the
+    driver's fixture layout) so the oracle reads the identical bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES
+    from tests.oracle import compare
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: leading all-NULL frames, then mixed, then isolated NULL
+        (0, 1, 0, None), (1, 1, 10, None), (2, 1, 30, 2.5),
+        (3, 1, 200, None),
+        # u2: all values NULL -> every frame all-NULL
+        (4, 2, 0, None), (5, 2, 5, None),
+        # u3: no NULLs at all
+        (6, 3, 0, 1.0), (7, 3, 59, 2.0), (8, 3, 61, 4.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = tmp_path / "nullroll"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    res = QUERIES["q153_rolling_window"](spark, str(d))
+    compare(res, ORACLE["q153_rolling_window"], str(d))
+    got = {r.event_id: (r.n_1h, r.sum_1h) for r in res.collect()}
+    assert got[0] == (1, None) and got[1] == (2, None)  # all-NULL frames
+    assert got[3] == (1, None)
+    assert got[4] == (1, None) and got[5] == (2, None)  # all-NULL user
+    assert float(got[2][1]) == 2.5 and got[2][0] == 3
+
+
 def _planted_embeddings(spark):
     """3 near-identical vectors (cos ~ 1) + 2 isolated ones, two labels."""
     base = [1.0] + [0.0] * 63
