@@ -10,15 +10,17 @@ registry iteration order each round and stops. The registry is ordered
 so that, across rounds, every query accumulates a driver CORRECTNESS
 row, freshest-evidence-last:
 
-1. oracle-matched queries with **no** driver row yet (round 5: any
-   newly added operators),
+1. the round-6 head pair: q153_rolling_window (the only red r5 row —
+   all-NULL-frame sum contract, fixed in operators/rolling.py) and
+   q151_semdedup_apply (the only query with no driver row ever), then
+   any oracle-matched query without a prior driver row,
 2. already-certified queries, OLDEST driver evidence first: after
-   round 4 re-certified the 47 stalest round-1 names, the oldest
-   evidence is the round-2 tier (q19/q37–q39/q59–q61/q64–q74/q78–q112
-   families, last driver-checked in round 2) — those 43 names lead,
-3. rows-only queries (9 — LSH/approx/ML operators without oracle SQL;
-   all got a fresh rows-only row in round 3),
-4. round-3/round-4-certified queries, freshest evidence last.
+   round 5 re-certified the round-2 tier, the oldest hash evidence is
+   the round-3 tier (q96/q113–q125/q128–q147 families plus the r3
+   q01–q11 re-certifications) — those 40 names lead,
+3. rows-only queries whose newest row is round 3 (8 — LSH/approx/ML
+   operators without oracle SQL; q62 got a fresh rows row in round 5),
+4. round-4/round-5-certified queries, freshest evidence last.
 
 This ordering is a coverage protocol, not sampling-steering: the FULL
 corpus is locally verified with the driver's exact canonicalization
@@ -127,21 +129,57 @@ DRIVER_VERIFIED_R4 = frozenset(
 )
 
 
+# Round-6 head: the red r5 row (NULL-frame fix needs re-certification)
+# and the one query the driver has never sampled (rows-only).
+HEAD_R6 = ("q153_rolling_window", "q151_semdedup_apply")
+
+
 def _priority(name: str) -> tuple[int, int]:
     order = list(QUERIES).index(name)
     certified = (
-        DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2 | DRIVER_VERIFIED_R3 | DRIVER_VERIFIED_R4
+        DRIVER_VERIFIED_R1
+        | DRIVER_VERIFIED_R2
+        | DRIVER_VERIFIED_R3
+        | DRIVER_VERIFIED_R4
+        | DRIVER_VERIFIED_R5
     )
-    fresh = DRIVER_VERIFIED_R3 | DRIVER_VERIFIED_R4
+    fresh = DRIVER_VERIFIED_R4 | DRIVER_VERIFIED_R5
+    if name in HEAD_R6:
+        return (0, HEAD_R6.index(name) - len(QUERIES))
     if name in ORACLE and name not in certified:
         return (0, order)  # new this round: needs a first driver row
-    if name in ORACLE and name in DRIVER_VERIFIED_R2 and name not in fresh:
-        return (1, order)  # stalest evidence: r2-certified, not since
-    if name in ORACLE and name in DRIVER_VERIFIED_R1 and name not in fresh:
-        return (2, order)  # (empty after r4: all r1 names re-certified)
-    if name not in ORACLE:
-        return (3, order)  # rows-only; all re-recorded in r3
-    return (4, order)  # r3/r4-fresh
+    if name in ORACLE and name in DRIVER_VERIFIED_R3 and name not in fresh:
+        return (1, order)  # stalest hash evidence: r3-certified, not since
+    if name not in ORACLE and name not in DRIVER_VERIFIED_R5:
+        return (2, order)  # rows-only; newest row is round 3
+    return (3, order)  # r4/r5-fresh (and q62's fresh rows row)
+
+
+# Names the round-5 driver verified (CORRECTNESS_r05.json): 48 hash-green
+# plus q62's rows-only row. q153 was sampled but RED (all-NULL-frame sum
+# contract, since fixed) so it is deliberately excluded here and re-led
+# via HEAD_R6.
+DRIVER_VERIFIED_R5 = frozenset(
+    {
+        "q100_string_agg", "q101_conditional_aggs", "q102_date_format",
+        "q103_more_strings", "q104_null_safe_eq", "q105_rank_fns",
+        "q106_keep_latest", "q107_stratified_sample", "q108_train_split",
+        "q109_contamination_check", "q110_repetition_ratio",
+        "q111_length_histogram", "q112_shuffle_order", "q152_sessionization",
+        "q154_normalized_dedup", "q155_tfidf_top_terms", "q156_session_funnel",
+        "q19_tpch_q3", "q38_struct_map", "q39_asof_join", "q60_exact_dedup",
+        "q61_fingerprint_dedup", "q62_minhash_near_dup", "q64_ngram_jaccard",
+        "q65_token_stats", "q66_quality_score", "q67_lang_id", "q68_pii_scrub",
+        "q69_quality_filter", "q70_cosine_topk", "q74_ppjoin_jaccard",
+        "q78_intersect_all", "q79_correlated_exists_ineq",
+        "q80_tumbling_window", "q81_session_window", "q82_sliding_window",
+        "q86_range_join", "q87_hypertable_rollup", "q88_count_min_sketch",
+        "q89_grouped_zscore", "q90_multimodal_features", "q91_doc_chunking",
+        "q92_pandas_udf_norm", "q93_bpe_token_stats", "q94_vocabulary",
+        "q95_sentence_udtf", "q97_random_projection", "q98_corr_covar",
+        "q99_bit_aggs",
+    }
+)
 
 
 def _reorder() -> None:
@@ -164,4 +202,6 @@ __all__ = [
     "DRIVER_VERIFIED_R2",
     "DRIVER_VERIFIED_R3",
     "DRIVER_VERIFIED_R4",
+    "DRIVER_VERIFIED_R5",
+    "HEAD_R6",
 ]

@@ -51,53 +51,67 @@ def test_q96_emits_only_scalar_columns(spark, sf_dir):
 
 
 def test_registry_orders_stalest_evidence_first():
-    """Round-5 protocol: the leading tier is new-unverified queries,
-    then the STALEST certified evidence — round-2-certified names not
-    re-certified in r3/r4 — then rows-only, then r3/r4-fresh. (The r1
-    tier emptied in round 4, which re-certified all 47 remaining
-    names.)"""
+    """Round-6 protocol: the head pair (q153, red in r5; q151, never
+    sampled) leads, then any new-unverified queries, then the STALEST
+    hash evidence — round-3-certified names not re-certified in r4/r5
+    — then r3-stale rows-only, then r4/r5-fresh."""
     from iceberg_cache_spark.plans import (
         DRIVER_VERIFIED_R1,
         DRIVER_VERIFIED_R2,
         DRIVER_VERIFIED_R3,
         DRIVER_VERIFIED_R4,
+        DRIVER_VERIFIED_R5,
+        HEAD_R6,
         ORACLE,
         QUERIES,
     )
 
     names = list(QUERIES)
     certified = (
-        DRIVER_VERIFIED_R1 | DRIVER_VERIFIED_R2 | DRIVER_VERIFIED_R3 | DRIVER_VERIFIED_R4
+        DRIVER_VERIFIED_R1
+        | DRIVER_VERIFIED_R2
+        | DRIVER_VERIFIED_R3
+        | DRIVER_VERIFIED_R4
+        | DRIVER_VERIFIED_R5
     )
-    fresh_set = DRIVER_VERIFIED_R3 | DRIVER_VERIFIED_R4
-    new_unverified = [n for n in names if n in ORACLE and n not in certified]
-    r2_stale = [
-        n
-        for n in names
-        if n in ORACLE and n in DRIVER_VERIFIED_R2 and n not in fresh_set
+    fresh_set = DRIVER_VERIFIED_R4 | DRIVER_VERIFIED_R5
+    head = list(HEAD_R6)
+    new_unverified = [
+        n for n in names if n in ORACLE and n not in certified and n not in head
     ]
-    r1_stale = [
+    r3_stale = [
         n
         for n in names
         if n in ORACLE
-        and n in DRIVER_VERIFIED_R1
-        and n not in DRIVER_VERIFIED_R2
+        and n in DRIVER_VERIFIED_R3
         and n not in fresh_set
+        and n not in head
     ]
-    rows_only = [n for n in names if n not in ORACLE]
-    fresh = [n for n in names if n in ORACLE and n in fresh_set]
-    assert r1_stale == []  # r4 re-certified the whole r1 tier
-    k0, k1, k2 = len(new_unverified), len(r2_stale), len(rows_only)
-    assert names[:k0] == new_unverified
-    assert names[k0 : k0 + k1] == r2_stale
-    assert names[k0 + k1 : k0 + k1 + k2] == rows_only
-    assert names[k0 + k1 + k2 :] == fresh
-    assert len(names) == k0 + k1 + k2 + len(fresh)
-    # the driver's ~50-row window must cover every stale-r2 name
-    # (round-4 verdict item 3: no evidence older than two rounds after r5)
-    assert sum(1 for n in names[:50] if n in r2_stale) >= min(40, k1)
-    # new queries never push the stale tier out of the window
-    assert k0 + k1 <= 50
+    rows_only_stale = [
+        n
+        for n in names
+        if n not in ORACLE and n not in DRIVER_VERIFIED_R5 and n not in head
+    ]
+    tail = [
+        n
+        for n in names
+        if n not in head
+        and n not in new_unverified
+        and n not in r3_stale
+        and n not in rows_only_stale
+    ]
+    assert names[:2] == head
+    k0 = 2 + len(new_unverified)
+    assert names[2:k0] == new_unverified
+    k1 = k0 + len(r3_stale)
+    assert names[k0:k1] == r3_stale
+    k2 = k1 + len(rows_only_stale)
+    assert names[k1:k2] == rows_only_stale
+    assert names[k2:] == tail
+    # the driver's ~50-row window must cover the head pair and every
+    # stale-r3 hash name (round-5 verdict items 1/2/4)
+    assert sum(1 for n in names[:50] if n in r3_stale) >= min(48 - k0, len(r3_stale))
+    assert k0 + len(r3_stale) <= 50
 
 
 # -- 3. grouped z-score: relational default ------------------------------
