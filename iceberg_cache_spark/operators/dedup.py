@@ -710,7 +710,15 @@ def connected_components_star(
 
     Convergence is detected by edge-set fixpoint (count + order-
     independent hash aggregate — no driver-side edge collection) and
-    non-convergence raises, same contract as min-label."""
+    non-convergence raises, same contract as min-label.
+
+    Per round the loop runs ONE job: the round's edge set is LAZILY
+    checkpointed (``materialize(..., eager=False)`` — the logical plan
+    is truncated immediately, which is mandatory here because each round
+    references the previous edge set ~4×, so an untruncated plan grows
+    exponentially) and the fingerprint aggregate both computes the round
+    and persists its blocks. The round-5 shape paid a second job per
+    round for the eager checkpoint write."""
     e = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -757,8 +765,8 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        e = materialize(small)
-        fp = _fingerprint(e)
+        e = materialize(small, eager=False)
+        fp = _fingerprint(e)  # one job: computes e AND checkpoints it
         if fp == prev:
             break
         prev = fp
@@ -770,58 +778,84 @@ def connected_components_star(
     # fixpoint: star edges (child, root). Labels = children -> root,
     # roots -> themselves, plus any isolated-after-dedup self pairs.
     # The extraction ASSUMES the fixpoint is a forest of stars rooted at
-    # component minima — verify cheaply instead of trusting the
-    # fingerprint (a stable non-star fixpoint or a hash collision would
-    # otherwise return silently wrong labels, the failure mode the
-    # min-label path guards against loudly).
-    _assert_star_forest(e)
-    children = e.select(F.col("u").alias("id"), F.col("v").alias("cid"))
-    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
-        "cid", F.col("id")
-    )
-    return children.unionByName(roots).groupBy("id").agg(
-        F.min("cid").alias("cid")
-    )
+    # component minima — verify that in the SAME grouped pass that
+    # extracts the labels (a stable non-star fixpoint or a fingerprint
+    # hash collision would otherwise return silently wrong labels, the
+    # failure mode the min-label path guards against loudly).
+    return _star_labels_checked(e)
 
 
-def _assert_star_forest(e: DataFrame) -> None:
-    """Raise unless edge set ``e`` (u=child, v=parent) is a forest of
-    stars rooted at per-component minima:
+def _star_labels_checked(e: DataFrame) -> DataFrame:
+    """One grouped pass over the fixpoint edge set ``e`` (u=child,
+    v=parent) that yields ``(id, cid)`` labels AND raises unless ``e``
+    is a forest of stars rooted at per-component minima:
 
     1. every edge points strictly downward (v < u) — roots are minima;
     2. every child has exactly one parent;
     3. no id is both a child and a parent (depth is exactly 1).
 
-    Two O(|e|) aggregate jobs over the (small) fixpoint edge set — the
-    price of turning "probably a star" into a loud contract, mirroring
-    connected_components' non-convergence raise."""
-    row = (
-        e.groupBy("u")
-        .agg(
-            F.count_distinct("v").alias("np"),
-            F.max((F.col("v") >= F.col("u")).cast("int")).alias("bad_orient"),
+    Child rows carry ``_ic=1``, root rows ``_ic=0``; the single
+    groupBy(id) then exposes every violation as a per-id flag
+    (distinct-parent count, orientation, both-roles) and the label as
+    ``min(cid)``. The grouped result is materialized once, so the
+    violation scan is a tiny aggregate over the persisted labels and the
+    caller's consumption does not recompute the union — cheaper than the
+    round-5 shape (two dedicated assertion jobs + a fresh extraction
+    scan), with the identical loud contract (round-5 verdict item 3)."""
+    union = e.select(
+        F.col("u").alias("id"), F.col("v").alias("cid"), F.lit(1).alias("_ic")
+    ).unionByName(
+        e.select(
+            F.col("v").alias("id"), F.col("v").alias("cid"), F.lit(0).alias("_ic")
         )
-        .agg(
-            F.max("np").alias("max_parents"),
-            F.max("bad_orient").alias("bad_orient"),
-        )
-        .collect()[0]
     )
-    deep = (
-        e.select("u")
-        .join(e.select(F.col("v").alias("u")).distinct(), "u", "left_semi")
-        .limit(1)
-        .count()
+    grouped = materialize(  # lazy: the violation agg below computes it
+        union.groupBy("id").agg(
+            F.min("cid").alias("cid"),
+            # e is kept distinct by the loop (and the entry filter), so
+            # child-row count per id IS the distinct-parent count — a
+            # plain sum avoids count_distinct's expand/two-phase agg.
+            F.sum("_ic").alias("_np"),
+            F.max(
+                ((F.col("_ic") == 1) & (F.col("cid") >= F.col("id"))).cast("int")
+            ).alias("_bad"),
+            F.max("_ic").alias("_icmax"),
+            F.min("_ic").alias("_icmin"),
+        ),
+        eager=False,
     )
-    if (row["max_parents"] or 0) > 1 or (row["bad_orient"] or 0) > 0 or deep > 0:
+    row = grouped.agg(
+        F.max("_np").alias("max_parents"),
+        F.max("_bad").alias("bad_orient"),
+        F.max(
+            ((F.col("_icmax") == 1) & (F.col("_icmin") == 0)).cast("int")
+        ).alias("deep"),
+    ).collect()[0]
+    if (
+        (row["max_parents"] or 0) > 1
+        or (row["bad_orient"] or 0) > 0
+        or (row["deep"] or 0) > 0
+    ):
         raise RuntimeError(
             "connected_components_star reached an edge fixpoint that is NOT a "
             f"star forest (max_parents={row['max_parents']}, "
-            f"bad_orientation={bool(row['bad_orient'])}, depth>1={bool(deep)}): "
+            f"bad_orientation={bool(row['bad_orient'])}, "
+            f"depth>1={bool(row['deep'])}): "
             "labels would be wrong. This indicates a non-star stable fixpoint "
             "or a fingerprint collision — rerun with connected_components "
             "(min-label) or report the graph."
         )
+    return grouped.select("id", "cid")
+
+
+def _assert_star_forest(e: DataFrame) -> None:
+    """Raise unless edge set ``e`` (u=child, v=parent) is a star forest
+    rooted at per-component minima — thin wrapper over the fused
+    label-extraction pass (:func:`_star_labels_checked`), kept as the
+    standalone contract probe the shape tests exercise. Deduplicates
+    first — the fused pass counts parents by row, relying on the CC
+    loop's distinct edges."""
+    _star_labels_checked(e.distinct())
 
 
 def boilerplate_gram_stats(

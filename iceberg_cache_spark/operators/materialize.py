@@ -31,13 +31,20 @@ from pyspark.sql import DataFrame
 RELIABLE_CONF = "spark.iceberg_cache.reliableCheckpoint"
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Truncate lineage and materialize ``df`` once (see module doc)."""
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate lineage and materialize ``df`` once (see module doc).
+
+    ``eager=False`` truncates the logical plan immediately but defers
+    the checkpoint write to the FIRST job that touches the result — the
+    fused-job pattern for iterative loops that follow each round's
+    materialization with a small aggregate (e.g. the star-CC fixpoint
+    fingerprint): the aggregate both computes the round and persists its
+    blocks, halving the loop's job count versus eager + aggregate."""
     spark = df.sparkSession
     try:
         reliable = spark.conf.get(RELIABLE_CONF, "false").lower() == "true"
     except Exception:
         reliable = False
     if reliable and spark.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
