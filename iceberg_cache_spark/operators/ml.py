@@ -119,13 +119,20 @@ def quality_classifier_scores(
         inputCols=["f_words", "f_maxshare", "f_meanlen", "f_stopratio"],
         outputCol="features",
     ).transform(feats)
-    n = docs.count()  # parquet-metadata count: no text parsing
+    # one count job over the caller's frame (cheap next to the fit; a
+    # plain parquet scan satisfies it from footer metadata)
+    n = docs.count()
     fit_on = assembled
     if n > fit_cap_rows:
         fit_on = assembled.filter(
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(int(n)))
             < F.lit(int(fit_cap_rows))
         )
+        # the hash sample is ~fit_cap_rows in EXPECTATION; a pathological
+        # corpus could hand LR a single-class sample, which it rejects —
+        # fall back to the full fit rather than dying (ADVICE r5)
+        if fit_on.select("label").distinct().count() < 2:
+            fit_on = assembled
     lr = LogisticRegression(
         featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
     )

@@ -56,10 +56,22 @@ def _estimated_bytes(df: DataFrame) -> int:
 # aggregates inherit theirs) only cost the ~2x-slower streaming path.
 _UNDERESTIMATING_NODES = frozenset({"Generate", "Expand"})
 
+# Outer joins preserve every row of the outer side(s) no matter what
+# the other side contributes, but the non-CBO Join estimate is the
+# PRODUCT of the child sizes — which collapses toward zero when either
+# child is estimated tiny (an empty-looking filtered dim, a fresh view
+# with no stats smaller than the row width). Inner/cross products only
+# over-estimate (the safe direction: ~2x-slower streaming path), so
+# only outer join types are untrusted.
+_UNDERESTIMATING_JOIN_TYPES = ("LeftOuter", "RightOuter", "FullOuter")
+
 
 def _estimate_trustworthy(df: DataFrame) -> bool:
-    """False when the optimized plan contains a row-expanding operator
-    whose size estimate is pass-through (see _UNDERESTIMATING_NODES) —
+    """False when the optimized plan contains an operator whose size
+    estimate can come out SMALLER than the actual output: a
+    row-expanding operator with a pass-through estimate (see
+    _UNDERESTIMATING_NODES) or an outer join whose child-size product
+    collapses below the preserved side (_UNDERESTIMATING_JOIN_TYPES) —
     such results must take the O(flush-window) streaming path no matter
     how small Catalyst thinks they are. Walks the (small) logical plan
     via py4j; any reflection failure counts as untrustworthy."""
@@ -67,7 +79,13 @@ def _estimate_trustworthy(df: DataFrame) -> bool:
         stack = [df._jdf.queryExecution().optimizedPlan()]
         while stack:
             node = stack.pop()
-            if node.nodeName() in _UNDERESTIMATING_NODES:
+            name = node.nodeName()
+            if name in _UNDERESTIMATING_NODES:
+                return False
+            if name == "Join" and any(
+                t in node.joinType().toString()
+                for t in _UNDERESTIMATING_JOIN_TYPES
+            ):
                 return False
             children = node.children()
             for i in range(children.size()):

@@ -192,6 +192,62 @@ def test_estimate_distrusts_row_expanding_plans(spark, sf_dir, server):
     assert not _estimate_trustworthy(rollup)  # Expand node
 
 
+def test_estimate_distrusts_outer_joins_and_streams(server, monkeypatch):
+    """VERDICT r5 item 7: the non-CBO Join estimate is the product of
+    the child sizes, which can collapse below the preserved side of an
+    OUTER join (a tiny-estimated dim still leaves every left row in the
+    output). Outer-join plans must be routed to the streaming path no
+    matter the estimate; inner/semi shapes (safe directions: product
+    over-estimates, semi passes the left size through) stay eligible
+    for the fast path."""
+    from iceberg_cache_spark.serving import flight as fl
+
+    location, engine = server
+    inner = engine.sql(
+        "SELECT n.n_name FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey"
+    )
+    assert fl._estimate_trustworthy(inner)
+    semi = engine.sql(
+        "SELECT n.n_name FROM nation n WHERE EXISTS "
+        "(SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)"
+    )
+    assert fl._estimate_trustworthy(semi)
+    for sql in (
+        "SELECT n.n_name, r.r_name FROM nation n "
+        "LEFT JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "AND r.r_name LIKE 'noma%'",
+        "SELECT n.n_name, r.r_name FROM region r "
+        "RIGHT JOIN nation n ON n.n_regionkey = r.r_regionkey",
+        "SELECT n.n_name, r.r_name FROM nation n "
+        "FULL OUTER JOIN region r ON n.n_regionkey = r.r_regionkey",
+    ):
+        assert not fl._estimate_trustworthy(engine.sql(sql)), sql
+
+    # Route regression: a small-ESTIMATE outer join must take the
+    # streaming path even though the default 1 GiB materialize threshold
+    # would have picked the fast path on the estimate alone. The server
+    # runs on a thread in this process, so poisoning the materializing
+    # generator proves the route.
+    def _boom(*a, **k):
+        raise AssertionError(
+            "outer-join result took the materializing path despite the "
+            "untrustworthy estimate"
+        )
+
+    monkeypatch.setattr(fl, "_materialized_batches", _boom)
+    got = fl.query_sql(
+        location,
+        "SELECT n.n_name, r.r_name FROM nation n "
+        "LEFT JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "ORDER BY n.n_name",
+    )
+    assert got.num_rows == 25
+    # ...and an inner join still uses the (now poisoned) fast path
+    with pytest.raises(Exception, match="materializing path"):
+        fl.query_sql(location, "SELECT r_name FROM region")
+
+
 def test_sql_ticket_adaptive_parity_multi_partition(spark, sf_dir):
     """VERDICT r4 item 7: the ``sql:`` ticket path must ride the same
     adaptive chooser as table tickets and round-trip a >1-partition
