@@ -98,6 +98,8 @@ def sample_frames(
                     raise NotImplementedError(
                         "media codecs unavailable; use fake=True"
                     )
+                if payload is None:
+                    continue  # NULL payload: no frames (missing blob)
                 data = bytes(payload)
                 frames = [
                     data[i : i + frame_size]
@@ -141,12 +143,21 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -
         for pdf in batches:
             if not fake:  # pragma: no cover
                 raise NotImplementedError("media codecs unavailable; use fake=True")
+            # NULL payloads (missing blobs are a fact of life in a
+            # 100 TB media lake) yield NULL features, mirroring
+            # octet_length(NULL)/md5(NULL) — not a worker crash
+            # (r6 NULL-robustness gate)
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "nbytes": pdf["payload"].map(len).astype("int64"),
+                    "nbytes": _pd.array(
+                        [None if b is None else len(b) for b in pdf["payload"]],
+                        dtype="Int64",
+                    ),
                     "feat_hash": pdf["payload"].map(
-                        lambda b: _hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: None
+                        if b is None
+                        else _hashlib.md5(bytes(b)).hexdigest()
                     ),
                 }
             )

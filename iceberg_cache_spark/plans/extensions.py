@@ -185,7 +185,7 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
           len(list_filter(toks, x -> list_contains(['el','los','las','es','una','que','por','con'], x))) AS es
          FROM t)
        SELECT doc_id,
-          CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+          CASE WHEN coalesce(greatest(en, de, fr, es), 0) = 0 THEN 'und'
                WHEN en = greatest(en, de, fr, es) THEN 'en'
                WHEN de = greatest(en, de, fr, es) THEN 'de'
                WHEN fr = greatest(en, de, fr, es) THEN 'fr'

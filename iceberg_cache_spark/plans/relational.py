@@ -449,11 +449,16 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
     "q30_row_number",
     """SELECT o_custkey, o_orderkey,
               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+                   ORDER BY o_orderdate NULLS LAST, o_orderkey) AS BIGINT) AS rn
        FROM orders ORDER BY o_custkey, rn""",
 )
 def q30(spark: SparkSession, sf: str) -> DataFrame:
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # explicit NULLS LAST on the nullable sort key: Spark ASC defaults
+    # NULLS FIRST, DuckDB NULLS LAST — divergent row numbering on
+    # NULL-bearing data (caught by the r6 NULL-robustness gate)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
     return (
         T(spark, sf, "orders")
         .select(
@@ -489,15 +494,18 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
     "q32_window_frame",
     """SELECT o_orderkey,
               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate NULLS LAST, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                    AS DOUBLE) AS running
        FROM orders ORDER BY o_orderkey""",
 )
 def q32(spark: SparkSession, sf: str) -> DataFrame:
+    # NULLS LAST both sides: running sums depend on row order, and the
+    # engines' ASC NULL defaults differ (r6 NULL gate)
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
@@ -515,11 +523,12 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 @declared(
     "q33_ntile",
     """SELECT c_custkey,
-              CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS q
+              CAST(NTILE(4) OVER (ORDER BY c_acctbal NULLS LAST, c_custkey)
+                   AS BIGINT) AS q
        FROM customer ORDER BY c_custkey""",
 )
 def q33(spark: SparkSession, sf: str) -> DataFrame:
-    w = W.orderBy("c_acctbal", "c_custkey")
+    w = W.orderBy(F.col("c_acctbal").asc_nulls_last(), "c_custkey")
     return (
         T(spark, sf, "customer")
         .select("c_custkey", F.ntile(4).over(w).cast("bigint").alias("q"))
@@ -692,7 +701,7 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     "q50_string_funcs",
     """SELECT p_partkey, UPPER(p_brand) AS ub, SUBSTRING(p_name, 1, 5) AS pre,
               CAST(LENGTH(p_type) AS BIGINT) AS tlen,
-              CONCAT(p_brand, '-', p_type) AS bt,
+              CONCAT_WS('-', p_brand, p_type) AS bt,
               LOWER(p_brand) AS lb, TRIM(p_name) AS tn,
               REPLACE(p_brand, 'Brand', 'B') AS rb,
               LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS pid
@@ -917,14 +926,15 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
               LAST_VALUE(o_orderkey) OVER w AS lv,
               NTH_VALUE(o_orderkey, 2) OVER w AS nv
        FROM orders
-       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate NULLS LAST, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        ORDER BY o_orderkey""",
 )
 def q36(spark: SparkSession, sf: str) -> DataFrame:
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return (
@@ -1188,11 +1198,11 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
               ROUND(percent_rank() OVER w, 6) AS pr,
               ROUND(cume_dist() OVER w, 6) AS cd
        FROM customer
-       WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+       WINDOW w AS (ORDER BY c_acctbal NULLS LAST, c_custkey)
        ORDER BY c_custkey""",
 )
 def q105(spark: SparkSession, sf: str) -> DataFrame:
-    w = W.orderBy("c_acctbal", "c_custkey")
+    w = W.orderBy(F.col("c_acctbal").asc_nulls_last(), "c_custkey")
     return (
         T(spark, sf, "customer")
         .select(
