@@ -573,7 +573,11 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("cid").alias("cid"))
         )
-        new = materialize(new)
+        # lazy checkpoint: the convergence probe below is the round's
+        # ONE job — it computes the new labels AND persists their
+        # blocks (plan truncation still happens immediately, keeping
+        # per-round lineage flat). Same fusion as the star-CC loop.
+        new = materialize(new, eager=False)
         changed = (
             new.join(labels.select("id", F.col("cid").alias("prev")), "id")
             .filter(F.col("cid") < F.col("prev"))

@@ -25,7 +25,11 @@ Policy (documented so the gate's coverage is explicit):
   xxhash-free arithmetic over the row's id column (no RNG state — the
   same bytes on every run, any machine).
 
-Output: /root/repo/.nulldata/sf0.001/*.parquet (gitignored; ~1 MB).
+Output: /root/repo/.nulldata/<sf>/*.parquet (gitignored; ~1 MB at the
+default sf0.001). Set SPARK_GRAFT_NULL_SF=sf0.01 to derive the variant
+from the driver-scale fixtures instead (10× the rows → 10× the NULL
+combinations through every operator; `tools/verify_nulls.py` honors
+the same variable).
 """
 
 from __future__ import annotations
@@ -36,11 +40,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_NULL_SF", "sf0.001")
+SRC = f"/root/testdata/{SF}"
 DST = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".nulldata",
-    "sf0.001",
+    SF,
 )
 
 # table -> (id column driving the mask, columns to inject into)

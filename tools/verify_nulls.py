@@ -23,8 +23,10 @@ import time
 
 ROUND = os.environ.get("SPARK_GRAFT_ROUND", "6")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF = os.path.join(REPO, ".nulldata", "sf0.001")
-OUT = os.path.join(REPO, f"NULLCHECK_r{ROUND}.json")
+NULL_SF = os.environ.get("SPARK_GRAFT_NULL_SF", "sf0.001")
+SF = os.path.join(REPO, ".nulldata", NULL_SF)
+_SUFFIX = "" if NULL_SF == "sf0.001" else f"_{NULL_SF}"
+OUT = os.path.join(REPO, f"NULLCHECK_r{ROUND}{_SUFFIX}.json")
 
 sys.path.insert(0, REPO)
 
