@@ -232,3 +232,108 @@ def test_ivf_and_lsh_arrow_fold_parity_random(spark, seed):
     ba = {r.vec_id: r.lsh_bucket
           for r in S.with_lsh_bucket(df, "embedding", dim, 5, seed=seed % 97, impl="arrow").collect()}
     assert bf == ba
+
+
+# -- rolling time-range aggregate vs Spark's own RANGE frame ---------------
+#
+# Randomized form of the fixed-case tests in test_operators.py: on
+# random (user, ts, value-with-NULLs) corpora and random frame widths,
+# the O(n log n) prefix-sum rewrite must agree exactly with Spark's
+# naive bounded RANGE frame — including COUNT(*) counting NULL-value
+# rows while an all-NULL frame sums to NULL (the round-5 driver red).
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 2**31 - 1), width=st.sampled_from([1, 40, 120]))
+def test_rolling_time_agg_matches_naive_random(spark, seed, width):
+    import random as _random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from iceberg_cache_spark.operators.rolling import rolling_time_agg
+
+    rng = _random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.randint(0, 2),
+            rng.randint(0, 300),  # dense ts range: frames overlap heavily
+            None if rng.random() < 0.25 else round(rng.uniform(-50, 50), 2),
+        )
+        for i in range(rng.randint(1, 60))
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, us bigint, v double"
+    ).select(
+        "event_id", "user_id", "us",
+        F.col("v").cast("decimal(18,2)").alias("dv"),
+    )
+    got = {
+        r.event_id: (r.n, None if r.s is None else float(r.s))
+        for r in rolling_time_agg(ev, width, cnt_out="n", sum_out="s").collect()
+    }
+    w = W.partitionBy("user_id").orderBy("us").rangeBetween(-width, 0)
+    naive = {
+        r.event_id: (r.n, None if r.s is None else float(r.s))
+        for r in ev.select(
+            "event_id",
+            F.count("*").over(w).alias("n"),
+            F.sum("dv").over(w).alias("s"),
+        ).collect()
+    }
+    assert got == naive
+
+
+# -- connected components: star vs min-label vs a driver union-find --------
+#
+# Random graphs (including disconnected nodes, chains, dense blobs):
+# both distributed CC algorithms must agree with an independent
+# in-Python union-find on the min-id-per-component labeling. This is
+# the cross-check that guards the dedup tier's transitive closure —
+# the star fixpoint's shape contract is loud, but agreement on random
+# graph SHAPES (not just planted near-dup clusters) is what rules out
+# a wrong-but-star-shaped fixpoint.
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 2**31 - 1))
+def test_cc_star_minlabel_unionfind_agree(spark, seed):
+    import random as _random
+
+    from iceberg_cache_spark.operators import dedup as D
+
+    rng = _random.Random(seed)
+    n = rng.randint(2, 28)
+    m = rng.randint(1, 70)
+    edges = []
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:  # pair emitters never emit self-pairs
+            edges.append((a, b))
+    # driver-side union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = sorted({v for e in edges for v in e})
+    want = {}
+    comp_min: dict = {}
+    for v in touched:
+        comp_min.setdefault(find(v), v)  # touched is sorted: first is min
+    for v in touched:
+        want[v] = comp_min[find(v)]
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    star = {r.id: r.cid for r in D.connected_components_star(pairs).collect()}
+    minl = {r.id: r.cid for r in D.connected_components(pairs, max_iter=40).collect()}
+    assert star == want
+    assert minl == want
