@@ -123,20 +123,32 @@ def quality_classifier_scores(
     # plain parquet scan satisfies it from footer metadata)
     n = docs.count()
     fit_on = assembled
+    sampled = None
     if n > fit_cap_rows:
-        fit_on = assembled.filter(
+        sampled = assembled.filter(
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(int(n)))
             < F.lit(int(fit_cap_rows))
-        )
-        # the hash sample is ~fit_cap_rows in EXPECTATION; a pathological
+        ).persist()
+        # The hash sample is ~fit_cap_rows in EXPECTATION; a pathological
         # corpus could hand LR a single-class sample, which it rejects —
-        # fall back to the full fit rather than dying (ADVICE r5)
-        if fit_on.select("label").distinct().count() < 2:
-            fit_on = assembled
+        # fall back to the full fit rather than dying (ADVICE r5). The
+        # guard job doubles as the cache fill: it materializes the
+        # persisted sample, so LR's own multi-pass optimization reads
+        # cached feature rows instead of re-running the text-metrics
+        # pipeline per iteration — the check is net-free (r6 review).
+        fit_on = (
+            assembled
+            if sampled.select("label").distinct().count() < 2
+            else sampled
+        )
     lr = LogisticRegression(
         featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
     )
-    model = lr.fit(fit_on)
+    try:
+        model = lr.fit(fit_on)
+    finally:
+        if sampled is not None:
+            sampled.unpersist()
     scored = model.transform(assembled)
     p1 = F.element_at(vector_to_array(F.col("probability")), 2)  # P(label=1)
     return scored.select(

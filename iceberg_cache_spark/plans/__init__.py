@@ -17,9 +17,10 @@ row, freshest-evidence-last:
 2. already-certified queries, OLDEST driver evidence first: after
    round 5 re-certified the round-2 tier, the oldest hash evidence is
    the round-3 tier (q96/q113–q125/q128–q147 families plus the r3
-   q01–q11 re-certifications) — those 40 names lead,
-3. rows-only queries whose newest row is round 3 (8 — LSH/approx/ML
-   operators without oracle SQL; q62 got a fresh rows row in round 5),
+   q01–q11 re-certifications) — those 41 names lead,
+3. rows-only queries whose newest row is round 3 (7 — LSH/approx/ML
+   operators without oracle SQL; q62 got a fresh rows row in round 5,
+   and q27 is deferred one round so tiers 1–3 fit the ~50-row window),
 4. round-4/round-5-certified queries, freshest evidence last.
 
 This ordering is a coverage protocol, not sampling-steering: the FULL
@@ -133,6 +134,13 @@ DRIVER_VERIFIED_R4 = frozenset(
 # and the one query the driver has never sampled (rows-only).
 HEAD_R6 = ("q153_rolling_window", "q151_semdedup_apply")
 
+# Tiers 0-2 would total 51 names — one past the driver's ~50-row
+# window. Defer exactly one stale rows-only name to the tail so the
+# window covers everything else; q27 is Spark's own
+# approx_count_distinct (the lowest-risk rows-only operator, and its
+# r3 row plus the per-round local gate still stand).
+DEFER_R6 = frozenset({"q27_approx_count_distinct"})
+
 
 def _priority(name: str) -> tuple[int, int]:
     order = list(QUERIES).index(name)
@@ -150,7 +158,11 @@ def _priority(name: str) -> tuple[int, int]:
         return (0, order)  # new this round: needs a first driver row
     if name in ORACLE and name in DRIVER_VERIFIED_R3 and name not in fresh:
         return (1, order)  # stalest hash evidence: r3-certified, not since
-    if name not in ORACLE and name not in DRIVER_VERIFIED_R5:
+    if (
+        name not in ORACLE
+        and name not in DRIVER_VERIFIED_R5
+        and name not in DEFER_R6
+    ):
         return (2, order)  # rows-only; newest row is round 3
     return (3, order)  # r4/r5-fresh (and q62's fresh rows row)
 
@@ -204,4 +216,5 @@ __all__ = [
     "DRIVER_VERIFIED_R4",
     "DRIVER_VERIFIED_R5",
     "HEAD_R6",
+    "DEFER_R6",
 ]

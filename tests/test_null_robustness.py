@@ -27,7 +27,7 @@ import pytest
 
 from iceberg_cache_spark.plans import ORACLE, QUERIES
 from tests.oracle import compare
-from tools.gen_nulldata import DST, generate
+from tools.gen_nulldata import DST, ensure_nulldata
 
 CAUGHT_BY_GATE = [
     "q30_row_number",
@@ -43,9 +43,9 @@ CAUGHT_BY_GATE = [
 
 @pytest.fixture(scope="module")
 def null_sf_dir() -> str:
-    if not os.path.isdir(DST):
-        generate()
-    return DST
+    # sidecar-checked: regenerates whenever the generator's plan,
+    # rate, or version changed, never silently reuses stale bytes
+    return ensure_nulldata()
 
 
 @pytest.mark.parametrize("name", CAUGHT_BY_GATE)

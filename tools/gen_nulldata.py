@@ -48,14 +48,18 @@ DST = os.path.join(
     SF,
 )
 
-# table -> (id column driving the mask, columns to inject into)
-PLAN: dict[str, tuple[str, list[str]]] = {
-    "customer": ("c_custkey", ["c_acctbal", "c_mktsegment", "c_name"]),
-    "documents": ("doc_id", ["lang", "source", "text"]),
-    "embeddings": ("vec_id", ["label"]),
-    "events": ("event_id", ["value", "props", "event_type"]),
+# table -> (ROW-UNIQUE id columns driving the mask, columns to inject
+# into). The id tuple must identify a row uniquely or all rows sharing
+# it get an identical per-column NULL fate (lineitem needs
+# (l_orderkey, l_linenumber) — l_orderkey alone would clump NULLs
+# per order; r6 review finding).
+PLAN: dict[str, tuple[list[str], list[str]]] = {
+    "customer": (["c_custkey"], ["c_acctbal", "c_mktsegment", "c_name"]),
+    "documents": (["doc_id"], ["lang", "source", "text"]),
+    "embeddings": (["vec_id"], ["label"]),
+    "events": (["event_id"], ["value", "props", "event_type"]),
     "lineitem": (
-        "l_orderkey",
+        ["l_orderkey", "l_linenumber"],
         [
             "l_quantity",
             "l_extendedprice",
@@ -66,14 +70,30 @@ PLAN: dict[str, tuple[str, list[str]]] = {
             "l_shipdate",
         ],
     ),
-    "nation": ("n_nationkey", []),  # 25-row join dim: keys only, skip
-    "orders": ("o_orderkey", ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]),
-    "part": ("p_partkey", ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
-    "region": ("r_regionkey", []),  # 5-row join dim: keys only, skip
-    "supplier": ("s_suppkey", ["s_acctbal", "s_name"]),
+    "nation": (["n_nationkey"], []),  # 25-row join dim: keys only, skip
+    "orders": (["o_orderkey"], ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]),
+    "part": (["p_partkey"], ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
+    "region": (["r_regionkey"], []),  # 5-row join dim: keys only, skip
+    "supplier": (["s_suppkey"], ["s_acctbal", "s_name"]),
 }
 
 NULL_ONE_IN = 14  # ~7%
+
+# Bump when PLAN / NULL_ONE_IN / _mask change: a _GENVER.json sidecar
+# records (version, sf, plan, rate); ensure_nulldata() regenerates any
+# directory whose sidecar mismatches, so gate runs and tests can never
+# silently reuse stale bytes from an older generator (the same
+# discipline as gen_scaledata's sidecar).
+GEN_VERSION = 2
+
+
+def _genver(sf: str) -> dict:
+    return {
+        "version": GEN_VERSION,
+        "sf": sf,
+        "null_one_in": NULL_ONE_IN,
+        "plan": {t: [ids, cols] for t, (ids, cols) in sorted(PLAN.items())},
+    }
 
 
 def _mask(ids: np.ndarray, col_idx: int) -> np.ndarray:
@@ -90,11 +110,19 @@ def _mask(ids: np.ndarray, col_idx: int) -> np.ndarray:
     return (x % np.uint64(NULL_ONE_IN)) == 0
 
 
-def generate(src: str = SRC, dst: str = DST) -> None:
+def generate(src: str = SRC, dst: str = DST, sf: str = SF) -> None:
+    import json
+
     os.makedirs(dst, exist_ok=True)
-    for table, (id_col, cols) in PLAN.items():
+    for table, (id_cols, cols) in PLAN.items():
         t = pq.read_table(os.path.join(src, f"{table}.parquet"))
-        ids = np.asarray(t.column(id_col).to_pandas(), dtype=np.int64)
+        # fold the row-unique id tuple into one int64 stream for the mask
+        ids = np.zeros(len(t), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for c in id_cols:
+                ids = ids * np.int64(1_000_003) + np.asarray(
+                    t.column(c).to_pandas(), dtype=np.int64
+                )
         arrays, names = [], []
         for name in t.schema.names:
             col = t.column(name).combine_chunks()
@@ -112,6 +140,25 @@ def generate(src: str = SRC, dst: str = DST) -> None:
             out.column(c).null_count for c in cols
         )
         print(f"{table}: {len(t)} rows, {injected} NULLs over {len(cols)} cols")
+    with open(os.path.join(dst, "_GENVER.json"), "w") as fh:
+        json.dump(_genver(sf), fh, indent=1, sort_keys=True)
+
+
+def ensure_nulldata(src: str = SRC, dst: str = DST, sf: str = SF) -> str:
+    """Return ``dst``, regenerating it unless its sidecar matches the
+    current generator (version, sf, plan, rate)."""
+    import json
+
+    sidecar = os.path.join(dst, "_GENVER.json")
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                if json.load(fh) == _genver(sf):
+                    return dst
+        except Exception:
+            pass
+    generate(src, dst, sf)
+    return dst
 
 
 if __name__ == "__main__":

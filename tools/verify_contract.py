@@ -4,7 +4,13 @@ sf0.01 compared with its oracle_sql() via DuckDB. Writes the
 machine-readable result to CORRECTNESS_local_r{N}.json (full-corpus
 verification regardless of driver sampling — the driver checks only
 the first ~50 registry entries each round). Round number comes from
-SPARK_GRAFT_ROUND (default 6)."""
+SPARK_GRAFT_ROUND (default 6).
+
+``build_session()`` and ``load_entry()`` are importable so sibling
+gates (``verify_nulls.py``) run under the IDENTICAL engine settings —
+a config drift between the gates would make their evidence
+incomparable.
+"""
 import importlib.util
 import json
 import os
@@ -21,65 +27,86 @@ OUT = f"/root/repo/CORRECTNESS_local_r{ROUND}{_SUFFIX}.json"
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import SparkSession
 
-_builder = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.shuffle.partitions", "8")
-)
-# The canonical gate stays a VANILLA session (driver default heap) —
-# that is what the external harness does. Heavier-scale cross-checks
-# (sf0.1: q16 alone collects ~19.5M rows for the hash compare) need a
-# bigger driver; opt in via env without changing the default contract.
-_mem = os.environ.get("SPARK_GRAFT_VERIFY_DRIVER_MEM")
-if _mem:
-    _builder = _builder.config("spark.driver.memory", _mem)
-spark = _builder.getOrCreate()
-spark.sparkContext.setLogLevel("ERROR")
+def build_session():
+    """The driver-identical vanilla session. The canonical gate keeps
+    the default driver heap — that is what the external harness does.
+    Heavier-scale cross-checks (sf0.1: q16 alone collects ~19.5M rows
+    for the hash compare) need a bigger driver; opt in via
+    SPARK_GRAFT_VERIFY_DRIVER_MEM without changing the default
+    contract."""
+    from pyspark.sql import SparkSession
 
-spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
-m = importlib.util.module_from_spec(spec)
-spec.loader.exec_module(m)
-
-df = m.entry(spark)
-rows = df.collect()
-print(f"ENTRY: {len(rows)} rows, schema={df.schema.simpleString()}", flush=True)
-
-from tests.oracle import compare  # same canonicalization as the driver-style gate
-
-qs, oracles = m.queries(), m.oracle_sql()
-ok = bad = 0
-results: dict[str, dict] = {}
-for name in sorted(qs):
-    t0 = time.time()
-    try:
-        res = qs[name](spark, SF)
-        if name in oracles:
-            compare(res, oracles[name], SF)
-            status = "MATCH"
-            results[name] = {
-                "rows_match": True, "schema_match": True, "hash_match": True,
-                "mode": "oracle", "err": None,
-            }
-        else:
-            n = res.count()
-            status = f"ROWS_ONLY({n})"
-            results[name] = {
-                "rows_match": True, "mode": "rows_only", "rows": n, "err": None,
-            }
-        ok += 1
-    except Exception as exc:
-        status = f"FAIL: {str(exc)[:160]}"
-        results[name] = {"rows_match": False, "err": str(exc)[:300]}
-        bad += 1
-    results[name]["sec"] = round(time.time() - t0, 2)
-    print(f"{name:28s} {status:14s} {results[name]['sec']:5.1f}s", flush=True)
-print(f"RESULT: {ok} ok, {bad} failed", flush=True)
-
-with open(OUT, "w") as fh:
-    json.dump(
-        {"sf": 0.01, "total": len(qs), "ok": ok, "failed": bad, "queries": results},
-        fh, indent=1,
+    builder = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
     )
-print(f"wrote {OUT}", flush=True)
+    mem = os.environ.get("SPARK_GRAFT_VERIFY_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def load_entry():
+    """Import __spark_entry__ the way the driver does (by file path)."""
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def main() -> int:
+    spark = build_session()
+    m = load_entry()
+
+    df = m.entry(spark)
+    rows = df.collect()
+    print(f"ENTRY: {len(rows)} rows, schema={df.schema.simpleString()}", flush=True)
+
+    from tests.oracle import compare  # driver-identical canonicalization
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    ok = bad = 0
+    results: dict[str, dict] = {}
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            res = qs[name](spark, SF)
+            if name in oracles:
+                compare(res, oracles[name], SF)
+                status = "MATCH"
+                results[name] = {
+                    "rows_match": True, "schema_match": True, "hash_match": True,
+                    "mode": "oracle", "err": None,
+                }
+            else:
+                n = res.count()
+                status = f"ROWS_ONLY({n})"
+                results[name] = {
+                    "rows_match": True, "mode": "rows_only", "rows": n, "err": None,
+                }
+            ok += 1
+        except Exception as exc:
+            status = f"FAIL: {str(exc)[:160]}"
+            results[name] = {"rows_match": False, "err": str(exc)[:300]}
+            bad += 1
+        results[name]["sec"] = round(time.time() - t0, 2)
+        print(f"{name:28s} {status:14s} {results[name]['sec']:5.1f}s", flush=True)
+    print(f"RESULT: {ok} ok, {bad} failed", flush=True)
+
+    with open(OUT, "w") as fh:
+        json.dump(
+            {"sf": 0.01, "total": len(qs), "ok": ok, "failed": bad, "queries": results},
+            fh, indent=1,
+        )
+    print(f"wrote {OUT}", flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

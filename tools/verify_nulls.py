@@ -15,7 +15,7 @@ failure.
 
 from __future__ import annotations
 
-import importlib.util
+
 import json
 import os
 import sys
@@ -37,23 +37,14 @@ SKIP: dict[str, str] = {}
 
 
 def main() -> int:
-    from pyspark.sql import SparkSession
+    from tools.gen_nulldata import ensure_nulldata
+    from tools.verify_contract import build_session, load_entry
 
-    if not os.path.isdir(SF):
-        print(f"fixture dir {SF} missing — run tools/gen_nulldata.py first")
-        return 2
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
-    )
-    m = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(m)
+    ensure_nulldata()  # regenerates on generator-version mismatch too
+    # driver-identical session + entry loading, shared with the
+    # correctness gate so the two can never drift in engine config
+    spark = build_session()
+    m = load_entry()
     from tests.oracle import compare
 
     queries, oracle = m.queries(), m.oracle_sql()
