@@ -202,3 +202,67 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
         for r in stream_stream_join(lb, rb).collect()
     )
     assert got == want and len(want) > 0
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(spark, tmp_path_factory):
+    """The NULL-injected events variant (NULL value/props/event_type —
+    tools/gen_nulldata.py) rewritten as a streaming source dir."""
+    from tools.gen_nulldata import ensure_nulldata
+
+    path = str(tmp_path_factory.mktemp("nullstream") / "events")
+    load_table(spark, ensure_nulldata(), "events").repartition(
+        4
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_streaming_tumbling_null_values_match_batch(spark, null_events_dir):
+    """Streaming tier on NULL-bearing data (round-6 NULL gate class):
+    watermarked tumbling aggregation over events whose value column is
+    ~7% NULL must equal the batch plan — COUNT(*) keeps NULL-value
+    rows, SUM skips them, an all-NULL window totals NULL — and the
+    stateful path must not crash on NULL payload columns."""
+    batch = SW.tumbling_agg(spark.read.parquet(null_events_dir))
+    streamed = _run_stream(
+        spark, null_events_dir,
+        lambda s: SW.stream_tumbling_agg(s, watermark="1 hour"),
+        "tumbling_null_mem",
+    )
+    b = {(r.win_start, r.n, r.total) for r in batch.collect()}
+    s = {(r.win_start, r.n, r.total) for r in streamed.collect()}
+    assert b == s and len(b) > 0
+    # the fixture really exercises the NULL path
+    nulls = spark.read.parquet(null_events_dir).filter(F.col("value").isNull())
+    assert nulls.count() > 0
+
+
+def test_stateful_user_stats_null_values(spark, null_events_dir):
+    """applyInPandasWithState over NULL-bearing value/event_type: state
+    accumulates without crashing and per-user counts equal the batch
+    groupBy (counts include NULL-value events; sums skip them)."""
+    from iceberg_cache_spark.streaming.stateful import stream_user_stats
+
+    schema = spark.read.parquet(null_events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(null_events_dir)
+    q = (
+        stream_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats_null_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql("SELECT * FROM user_stats_null_mem").collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in spark.read.parquet(null_events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
