@@ -216,6 +216,12 @@ def test_assert_star_forest_accepts_star(spark):
     D._assert_star_forest(_edges(spark, [(2, 1), (3, 1), (5, 4)]))
 
 
+def test_assert_star_forest_accepts_duplicate_edges(spark):
+    # the standalone probe dedupes first (r6: the fused pass counts
+    # parents by row and relies on the CC loop's distinct edges)
+    D._assert_star_forest(_edges(spark, [(2, 1), (2, 1), (3, 1)]))
+
+
 def test_assert_star_forest_rejects_multi_parent(spark):
     with pytest.raises(RuntimeError, match="star forest"):
         D._assert_star_forest(_edges(spark, [(3, 1), (3, 2)]))
