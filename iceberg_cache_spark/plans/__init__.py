@@ -13,14 +13,15 @@ row, freshest-evidence-last:
 1. the round-6 head pair: q153_rolling_window (the only red r5 row —
    all-NULL-frame sum contract, fixed in operators/rolling.py) and
    q151_semdedup_apply (the only query with no driver row ever), then
-   any oracle-matched query without a prior driver row,
+   any oracle-matched query without a prior driver row (round 6 adds
+   q157_null_profile and q158_cluster_size_histogram),
 2. already-certified queries, OLDEST driver evidence first: after
    round 5 re-certified the round-2 tier, the oldest hash evidence is
    the round-3 tier (q96/q113–q125/q128–q147 families plus the r3
    q01–q11 re-certifications) — those 41 names lead,
-3. rows-only queries whose newest row is round 3 (7 — LSH/approx/ML
-   operators without oracle SQL; q62 got a fresh rows row in round 5,
-   and q27 is deferred one round so tiers 1–3 fit the ~50-row window),
+3. rows-only queries whose newest row is round 3 (5 — q62 got a fresh
+   rows row in round 5, and q27/q63/q71 are deferred one round so
+   tiers 1–3 fit the ~50-row window; see DEFER_R6),
 4. round-4/round-5-certified queries, freshest evidence last.
 
 This ordering is a coverage protocol, not sampling-steering: the FULL
@@ -134,12 +135,20 @@ DRIVER_VERIFIED_R4 = frozenset(
 # and the one query the driver has never sampled (rows-only).
 HEAD_R6 = ("q153_rolling_window", "q151_semdedup_apply")
 
-# Tiers 0-2 would total 51 names — one past the driver's ~50-row
-# window. Defer exactly one stale rows-only name to the tail so the
-# window covers everything else; q27 is Spark's own
-# approx_count_distinct (the lowest-risk rows-only operator, and its
-# r3 row plus the per-round local gate still stand).
-DEFER_R6 = frozenset({"q27_approx_count_distinct"})
+# Tiers 0-2 must FIT the driver's ~50-row window (test-asserted).
+# With the head pair, the two round-6 additions (q157/q158), and the
+# 41-name stale-r3 tier, that leaves room for 5 of the 8 stale
+# rows-only names; defer the three lowest-risk ones to the tail —
+# q27 is Spark's own approx_count_distinct, and q63/q71's
+# SimHash/LSH families are also covered by planted-fixture tests and
+# the per-round q72/q73 scale probes. Their r3 rows still stand.
+DEFER_R6 = frozenset(
+    {
+        "q27_approx_count_distinct",
+        "q63_simhash_near_dup",
+        "q71_lsh_cosine_topk",
+    }
+)
 
 
 def _priority(name: str) -> tuple[int, int]:

@@ -426,3 +426,94 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               ROUND(CAST(COUNT(*) - COUNT({c}) AS DOUBLE)
+                     / COUNT(*), 6) AS null_frac
+        FROM events"""
+    for c in _EVENT_COLS
+)
+
+
+@declared("q157_null_profile", f"SELECT * FROM ({_PROFILE_ORACLE}) ORDER BY col")
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column completeness profile — the schema-quality audit every
+    ingestion pipeline runs before trusting a 100 TB drop: for each
+    column, row count, NULL count, and NULL fraction.
+
+    Plan shape is the point: ONE scan and ONE partial-aggregating
+    hash aggregate compute every column's counters simultaneously
+    (count(col) skips NULLs in both engines), producing a single wide
+    row that a driver-side-free explode pivots to long form — versus
+    the oracle's (and the naive) one-scan-per-column formulation,
+    which is O(columns) passes over the corpus."""
+    ev = T(spark, sf, "events")
+    n = F.count("*")
+    wide = ev.agg(
+        n.alias("_n"),
+        *[F.count(F.col(c)).alias(f"_c_{c}") for c in _EVENT_COLS],
+    )
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("_n").cast("bigint").alias("n_rows"),
+                (F.col("_n") - F.col(f"_c_{c}")).cast("bigint").alias("n_null"),
+                F.round(
+                    (F.col("_n") - F.col(f"_c_{c}")).cast("double") / F.col("_n"), 6
+                ).alias("null_frac"),
+            )
+            for c in _EVENT_COLS
+        ]
+    )
+    return (
+        wide.select(F.explode(cols).alias("p"))
+        .select("p.col", "p.n_rows", "p.n_null", "p.null_frac")
+        .orderBy("col")
+    )
+
+
+from iceberg_cache_spark.plans.extensions import CC_LABELS_CTE as _CC_CTE  # noqa: E402
+
+
+@declared(
+    "q158_cluster_size_histogram",
+    _CC_CTE
+    + """,
+       csize AS (SELECT cluster_id, COUNT(*) AS cs FROM labels
+                 GROUP BY cluster_id)
+       SELECT CAST(cs AS BIGINT) AS cluster_size,
+              CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(cs * COUNT(*) AS BIGINT) AS n_docs
+       FROM csize GROUP BY cs ORDER BY cluster_size""",
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup observability: the duplicate-cluster SIZE DISTRIBUTION of
+    the exact n-gram-Jaccard >= 0.5 graph — how many clusters of 2, of
+    3, ... and how many documents each bucket holds. This is the
+    report a curation run publishes to justify its kill rate (and the
+    early-warning signal for a degenerate similarity threshold: a
+    giant component shows up as one huge cluster_size row). Shares the
+    q116/q148 oracle's CC prefix; the Spark side rides the
+    diameter-independent star contraction, then two id-keyed
+    aggregates — nothing rescans the corpus."""
+    d = T(spark, sf, "documents")
+    pairs = _D.ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    labels = _D.connected_components_star(pairs)
+    return (
+        labels.groupBy("cid")
+        .agg(F.count("*").alias("cs"))
+        .groupBy("cs")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("cs").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cs") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

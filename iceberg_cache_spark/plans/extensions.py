@@ -1246,9 +1246,11 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@declared(
-    "q116_dedup_clusters",
-    f"""WITH RECURSIVE toks AS (
+# Shared oracle prefix: exact n-gram-Jaccard >= 0.5 pair graph ->
+# connected components via recursive CTE, ending in a `labels`
+# (doc_id, cluster_id) CTE. Reused by q116/q148 (labels as-is) and
+# q158 (cluster-size histogram over the labels).
+CC_LABELS_CTE = f"""WITH RECURSIVE toks AS (
          SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
        allgrams AS (
          SELECT DISTINCT doc_id, g FROM (
@@ -1273,9 +1275,17 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
        reach(doc, r) AS (
          SELECT DISTINCT a, a FROM edges
          UNION
-         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
-       SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
-       FROM reach GROUP BY doc ORDER BY doc_id""",
+         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
+       labels AS (
+         SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY doc)"""
+
+
+@declared(
+    "q116_dedup_clusters",
+    CC_LABELS_CTE
+    + """
+       SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""",
 )
 def q116(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: connected components of the
