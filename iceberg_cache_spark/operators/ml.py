@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T_types
 
 
 def kmeans_clusters(
@@ -44,6 +45,17 @@ def kmeans_clusters(
     vecs = df.select(
         F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
     )
+    # empty corpus (empty snapshot / fully-filtered partition): there is
+    # nothing to cluster — return the correctly-typed empty frame
+    # instead of crashing KMeans.fit (empty-input gate, r6)
+    if vecs.isEmpty():
+        return df.sparkSession.createDataFrame(
+            [],
+            T_types.StructType(
+                df.select(id_col).schema.fields
+                + [T_types.StructField("cluster", T_types.IntegerType())]
+            ),
+        )
     fit_on = vecs if fit_fraction >= 1.0 else vecs.sample(fit_fraction, seed)
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(fit_on)
     return model.transform(vecs).select(
@@ -122,6 +134,20 @@ def quality_classifier_scores(
     # one count job over the caller's frame (cheap next to the fit; a
     # plain parquet scan satisfies it from footer metadata)
     n = docs.count()
+    if n == 0:
+        # empty corpus: nothing to score, and LR cannot fit zero rows —
+        # return the correctly-typed empty frame (empty-input gate, r6)
+        return docs.sparkSession.createDataFrame(
+            [],
+            T_types.StructType(
+                docs.select(id_col).schema.fields
+                + [
+                    T_types.StructField("rule_pass", T_types.IntegerType()),
+                    T_types.StructField("quality_prob", T_types.DoubleType()),
+                    T_types.StructField("pred_pass", T_types.IntegerType()),
+                ]
+            ),
+        )
     fit_on = assembled
     sampled = None
     if n > fit_cap_rows:

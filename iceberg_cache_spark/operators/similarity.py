@@ -298,9 +298,14 @@ def _centroid_mats(
     centroids: list[tuple[int, list[float]]]
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(ids, C, ||c||^2) in centroid-list order (ties keep list order,
-    matching the fold path's strict `<`)."""
+    matching the fold path's strict `<`). Zero centroids (an empty
+    corpus seeded zero cells — empty-input gate, r6) yields explicit
+    (0, 0)-shaped matrices instead of an axis error; downstream probe
+    UDFs never run because there are no data rows either."""
     ids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
     C = np.asarray([c for _, c in centroids], dtype=np.float64)
+    if C.size == 0:
+        C = C.reshape(0, 0)
     return ids, C, (C * C).sum(axis=1)
 
 

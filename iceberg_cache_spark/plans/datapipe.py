@@ -464,8 +464,15 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(c).alias("col"),
                 F.col("_n").cast("bigint").alias("n_rows"),
                 (F.col("_n") - F.col(f"_c_{c}")).cast("bigint").alias("n_null"),
+                # try_divide: NULL on an empty table, matching DuckDB's
+                # NULL division-by-zero (ANSI Spark would raise) —
+                # empty-input gate, r6
                 F.round(
-                    (F.col("_n") - F.col(f"_c_{c}")).cast("double") / F.col("_n"), 6
+                    F.try_divide(
+                        (F.col("_n") - F.col(f"_c_{c}")).cast("double"),
+                        F.col("_n"),
+                    ),
+                    6,
                 ).alias("null_frac"),
             )
             for c in _EVENT_COLS

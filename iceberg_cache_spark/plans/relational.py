@@ -368,9 +368,17 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
     "q23_rollup",
     """SELECT n_regionkey, n_name, CAST(COUNT(*) AS BIGINT) AS n FROM nation
        GROUP BY ROLLUP(n_regionkey, n_name)
+       HAVING COUNT(*) > 0
        ORDER BY n_regionkey NULLS FIRST, n_name NULLS FIRST""",
 )
 def q23(spark: SparkSession, sf: str) -> DataFrame:
+    """The oracle's HAVING COUNT(*) > 0 is an empty-input dialect
+    alignment (no-op on any non-empty input): standard SQL emits the
+    () grouping set's grand-total row even over zero input rows, but
+    Spark's Expand-based ROLLUP/CUBE/GROUPING SETS generates rows FROM
+    input rows, so an empty scan yields an empty result — caught by
+    the r6 empty-input gate (tools/verify_empty.py). Same note applies
+    to q24/q28."""
     return (
         T(spark, sf, "nation")
         .rollup("n_regionkey", "n_name")
@@ -385,6 +393,7 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
     "q24_cube",
     """SELECT n_regionkey, n_name, CAST(COUNT(*) AS BIGINT) AS n FROM nation
        GROUP BY CUBE(n_regionkey, n_name)
+       HAVING COUNT(*) > 0
        ORDER BY n_regionkey NULLS FIRST, n_name NULLS FIRST""",
 )
 def q24(spark: SparkSession, sf: str) -> DataFrame:
@@ -864,6 +873,7 @@ from iceberg_cache_spark.sources.testdata import register_views  # noqa: E402
     "q28_grouping_sets",
     """SELECT n_regionkey, n_name, CAST(COUNT(*) AS BIGINT) AS n FROM nation
        GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())
+       HAVING COUNT(*) > 0
        ORDER BY n_regionkey NULLS FIRST, n_name NULLS FIRST""",
 )
 def q28(spark: SparkSession, sf: str) -> DataFrame:

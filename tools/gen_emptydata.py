@@ -1,0 +1,56 @@
+"""Empty-table fixture variant for the empty-input robustness gate.
+
+An empty snapshot, an all-filtered partition, or a brand-new table is
+routine at 100 TB — a query engine must return empty (or correctly
+degenerate) results, never crash. This derives a 0-row copy of every
+fixture table with the exact sf0.001 schemas, so
+``tools/verify_empty.py`` can run the whole declared corpus against
+DuckDB on it. Trivially deterministic; `_GENVER.json` sidecar for the
+same regeneration discipline as the other variants.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.001"
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".emptydata",
+    "sf0",
+)
+GEN_VERSION = 1
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def generate(src: str = SRC, dst: str = DST) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for table in TABLES:
+        t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+        pq.write_table(t.slice(0, 0), os.path.join(dst, f"{table}.parquet"))
+    with open(os.path.join(dst, "_GENVER.json"), "w") as fh:
+        json.dump({"version": GEN_VERSION, "tables": TABLES}, fh)
+    print(f"wrote {len(TABLES)} empty tables to {dst}")
+
+
+def ensure_emptydata(src: str = SRC, dst: str = DST) -> str:
+    sidecar = os.path.join(dst, "_GENVER.json")
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                if json.load(fh) == {"version": GEN_VERSION, "tables": TABLES}:
+                    return dst
+        except Exception:
+            pass
+    generate(src, dst)
+    return dst
+
+
+if __name__ == "__main__":
+    generate()
