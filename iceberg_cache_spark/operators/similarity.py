@@ -326,6 +326,12 @@ def ivf_assign(
     literals. Both break distance ties toward the earlier centroid in
     list order."""
     impl = impl or DEFAULT_IMPL
+    # zero centroids (an empty corpus seeded zero cells): a typed NULL
+    # cell on BOTH impls — the fold loop would otherwise build
+    # withColumn(out, None) and fail at plan time even with no data
+    # rows (empty-input gate, r6; review follow-up for impl="fold")
+    if not centroids:
+        return df.withColumn(out, F.lit(None).cast("int"))
     if impl == "fold":
         best_id, best_d = None, None
         for cid, cvec in centroids:
@@ -397,6 +403,14 @@ def ivf_cosine_topk(
     nearest cells. At 100 TB the corpus is *partitioned by ivf_cell*, so
     a probe is file-level pruning + a small scan, not a full pass."""
     impl = impl or DEFAULT_IMPL
+    if not centroids:
+        # no cells to probe (empty corpus): typed empty result on both
+        # impls — the fold probe array and the arrow argsort are both
+        # undefined over zero centroids
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} bigint, {id_col} bigint, sim double, rnk bigint",
+        )
     c = ivf_assign(corpus, centroids, vec_col, impl=impl).select(
         id_col, vec_col, "ivf_cell", _norm(F.col(vec_col)).alias("c_norm")
     )

@@ -20,6 +20,7 @@ queries that gate initially caught:
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from iceberg_cache_spark.plans import ORACLE, QUERIES
 from tests.oracle import compare
@@ -48,6 +49,24 @@ def test_empty_fixture_runs_and_matches(spark, empty_sf_dir, name):
         compare(df, ORACLE[name], empty_sf_dir)
     else:
         assert df.count() == 0
+
+
+def test_ivf_zero_centroids_both_impls(spark):
+    """Zero seeded centroids (empty corpus): both the arrow and the
+    fold candidate-generation impls must degrade gracefully — the fold
+    loop would otherwise build withColumn(None) and fail at PLAN time,
+    before any data is touched (r6 review follow-up)."""
+    from iceberg_cache_spark.operators import similarity as S
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    for impl in ("fold", "arrow"):
+        assigned = S.ivf_assign(empty, [], impl=impl)
+        assert assigned.count() == 0 and "ivf_cell" in assigned.columns
+        topk = S.ivf_cosine_topk(empty, empty.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ), [], impl=impl)
+        assert topk.count() == 0
+        assert topk.columns == ["query_id", "vec_id", "sim", "rnk"]
 
 
 def test_rollup_grand_total_alignment_documented(spark, empty_sf_dir):

@@ -27,7 +27,7 @@ import pytest
 
 from iceberg_cache_spark.plans import ORACLE, QUERIES
 from tests.oracle import compare
-from tools.gen_nulldata import DST, ensure_nulldata
+from tools.gen_nulldata import ensure_nulldata
 
 CAUGHT_BY_GATE = [
     "q30_row_number",

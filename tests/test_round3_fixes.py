@@ -115,8 +115,8 @@ def test_registry_orders_stalest_evidence_first():
     # the driver's ~50-row window must cover the head pair, every
     # stale-r3 hash name, AND the non-deferred stale rows-only tier
     # (round-5 verdict items 1/2/4; review finding r6: tiers 0-2 must
-    # FIT the window, which is why exactly one rows-only name is
-    # deferred via DEFER_R6)
+    # FIT the window, which is why the DEFER_R6 rows-only names are
+    # pushed to the tail)
     assert k2 <= 50, f"tiers 0-2 hold {k2} names, overflowing the ~50 window"
     assert sum(1 for n in names[:50] if n in r3_stale) == len(r3_stale)
     assert sum(1 for n in names[:50] if n in rows_only_stale) == len(rows_only_stale)

@@ -13,20 +13,21 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
 import pyarrow.parquet as pq
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# the engine's own table list, so a table added to the star schema can
+# never be silently missing from the empty variant (r6 review)
+from iceberg_cache_spark.sources.testdata import TABLE_NAMES as TABLES  # noqa: E402
+
 SRC = "/root/testdata/sf0.001"
-DST = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".emptydata",
-    "sf0",
-)
+DST = os.path.join(_REPO, ".emptydata", "sf0")
 GEN_VERSION = 1
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 def generate(src: str = SRC, dst: str = DST) -> None:
@@ -35,7 +36,7 @@ def generate(src: str = SRC, dst: str = DST) -> None:
         t = pq.read_table(os.path.join(src, f"{table}.parquet"))
         pq.write_table(t.slice(0, 0), os.path.join(dst, f"{table}.parquet"))
     with open(os.path.join(dst, "_GENVER.json"), "w") as fh:
-        json.dump({"version": GEN_VERSION, "tables": TABLES}, fh)
+        json.dump({"version": GEN_VERSION, "tables": list(TABLES)}, fh)
     print(f"wrote {len(TABLES)} empty tables to {dst}")
 
 
@@ -44,7 +45,10 @@ def ensure_emptydata(src: str = SRC, dst: str = DST) -> str:
     if os.path.exists(sidecar):
         try:
             with open(sidecar) as fh:
-                if json.load(fh) == {"version": GEN_VERSION, "tables": TABLES}:
+                if json.load(fh) == {
+                    "version": GEN_VERSION,
+                    "tables": list(TABLES),
+                }:
                     return dst
         except Exception:
             pass

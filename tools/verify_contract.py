@@ -60,6 +60,55 @@ def load_entry():
     return m
 
 
+def run_variant_gate(
+    spark,
+    m,
+    sf: str,
+    out_path: str,
+    include_rows_only: bool,
+    skip: dict[str, str],
+) -> int:
+    """Shared loop for the degenerate-input gates (NULL / empty
+    variants): compare every oracle-matched query vs DuckDB on the
+    variant fixture dir, optionally executing rows-only queries too.
+    One implementation so the gates' evidence files stay comparable
+    (r6 review: the NULL and empty loops had started as copies)."""
+    from tests.oracle import compare
+
+    queries, oracle = m.queries(), m.oracle_sql()
+    results, failed = {}, 0
+    for name in sorted(queries):
+        if name not in oracle and not include_rows_only:
+            continue  # approximate queries: no NULL/empty oracle
+        if name in skip:
+            results[name] = {"status": "skip", "reason": skip[name]}
+            print(f"{name:<28} SKIP   {skip[name]}", flush=True)
+            continue
+        t0 = time.time()
+        try:
+            if name in oracle:
+                compare(queries[name](spark, sf), oracle[name], sf)
+                status = "match"
+            else:
+                queries[name](spark, sf).count()
+                status = "runs"
+            results[name] = {"status": status, "sec": round(time.time() - t0, 1)}
+            print(
+                f"{name:<28} {status.upper():6s} {time.time() - t0:5.1f}s",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001 — record and continue
+            failed += 1
+            results[name] = {"status": "fail", "err": str(e)[:500]}
+            print(f"{name:<28} FAIL   {str(e)[:200]}", flush=True)
+    ok = sum(1 for r in results.values() if r["status"] in ("match", "runs"))
+    print(f"RESULT: {ok} ok, {failed} failed, {len(skip)} skipped")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path}")
+    return 1 if failed else 0
+
+
 def main() -> int:
     spark = build_session()
     m = load_entry()

@@ -31,40 +31,16 @@ SKIP: dict[str, str] = {}
 
 def main() -> int:
     from tools.gen_emptydata import ensure_emptydata
-    from tools.verify_contract import build_session, load_entry
+    from tools.verify_contract import build_session, load_entry, run_variant_gate
 
     sf = ensure_emptydata()
-    spark = build_session()
-    m = load_entry()
-    from tests.oracle import compare
-
-    queries, oracle = m.queries(), m.oracle_sql()
-    results, failed = {}, 0
-    for name in sorted(queries):
-        if name in SKIP:
-            results[name] = {"status": "skip", "reason": SKIP[name]}
-            print(f"{name:<28} SKIP   {SKIP[name]}", flush=True)
-            continue
-        t0 = time.time()
-        try:
-            if name in oracle:
-                compare(queries[name](spark, sf), oracle[name], sf)
-                status = "match"
-            else:
-                queries[name](spark, sf).count()
-                status = "runs"
-            results[name] = {"status": status, "sec": round(time.time() - t0, 1)}
-            print(f"{name:<28} {status.upper():6s} {time.time() - t0:5.1f}s", flush=True)
-        except Exception as e:  # noqa: BLE001 — record and continue
-            failed += 1
-            results[name] = {"status": "fail", "err": str(e)[:500]}
-            print(f"{name:<28} FAIL   {str(e)[:200]}", flush=True)
-    ok = sum(1 for r in results.values() if r["status"] in ("match", "runs"))
-    print(f"RESULT: {ok} ok, {failed} failed, {len(SKIP)} skipped")
-    with open(OUT, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
-    print(f"wrote {OUT}")
-    return 1 if failed else 0
+    # session + entry loading + gate loop shared with the other gates
+    # (r6 review: the loops had started as copies and could drift)
+    return run_variant_gate(
+        build_session(), load_entry(), sf, OUT,
+        include_rows_only=True,  # rows-only queries must RUN on empty input
+        skip=SKIP,
+    )
 
 
 if __name__ == "__main__":

@@ -38,39 +38,17 @@ SKIP: dict[str, str] = {}
 
 def main() -> int:
     from tools.gen_nulldata import ensure_nulldata
-    from tools.verify_contract import build_session, load_entry
+    from tools.verify_contract import build_session, load_entry, run_variant_gate
 
     ensure_nulldata()  # regenerates on generator-version mismatch too
-    # driver-identical session + entry loading, shared with the
-    # correctness gate so the two can never drift in engine config
-    spark = build_session()
-    m = load_entry()
-    from tests.oracle import compare
-
-    queries, oracle = m.queries(), m.oracle_sql()
-    results, failed = {}, 0
-    for name in sorted(queries):
-        if name not in oracle:
-            continue  # rows-only (approximate) queries: no NULL oracle
-        if name in SKIP:
-            results[name] = {"status": "skip", "reason": SKIP[name]}
-            print(f"{name:<28} SKIP   {SKIP[name]}", flush=True)
-            continue
-        t0 = time.time()
-        try:
-            compare(queries[name](spark, SF), oracle[name], SF)
-            results[name] = {"status": "match", "sec": round(time.time() - t0, 1)}
-            print(f"{name:<28} MATCH  {time.time() - t0:5.1f}s", flush=True)
-        except Exception as e:  # noqa: BLE001 — record and continue
-            failed += 1
-            results[name] = {"status": "fail", "err": str(e)[:500]}
-            print(f"{name:<28} FAIL   {str(e)[:200]}", flush=True)
-    ok = sum(1 for r in results.values() if r["status"] == "match")
-    print(f"RESULT: {ok} ok, {failed} failed, {len(SKIP)} skipped")
-    with open(OUT, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
-    print(f"wrote {OUT}")
-    return 1 if failed else 0
+    # driver-identical session + entry loading + gate loop, shared with
+    # the correctness gate so the variants can never drift in engine
+    # config or result canonicalization
+    return run_variant_gate(
+        build_session(), load_entry(), SF, OUT,
+        include_rows_only=False,  # approximate queries: no NULL oracle
+        skip=SKIP,
+    )
 
 
 if __name__ == "__main__":
