@@ -46,7 +46,10 @@ def main() -> int:
     # config or result canonicalization
     return run_variant_gate(
         build_session(), load_entry(), SF, OUT,
-        include_rows_only=False,  # approximate queries: no NULL oracle
+        # approximate queries have no NULL oracle, but they must still
+        # RUN on NULL-bearing data (MinHash/SimHash over NULL text,
+        # ANN over NULL labels) — recorded as "runs" rows
+        include_rows_only=True,
         skip=SKIP,
     )
 
