@@ -10,21 +10,31 @@ Each query executes end-to-end into a noop sink (full plan runs on
 executors; nothing materializes on the driver — the honest cluster
 cost, not a collect() cost).
 
-Measurement protocol (round 4 — stability fixes):
-- One long session runs 141 queries x 3; round 3 showed that without
-  hygiene the accumulated heap/GC pressure inflates late/heavy queries
-  with an 8x min/max spread (q16 10.5-87.6 s). Between queries we now
-  clear the block-manager cache and force a JVM GC so every query
-  starts from a settled heap.
-- Per-query ``spread_ok`` (max/min <= 2). Any query failing the gate
-  after the first pass is RE-MEASURED at the end (settled heap, 3 fresh
-  samples) and the re-measured median replaces the noisy one; a query
-  whose re-run still fails the gate is reported with spread_ok=false so
-  the judge can see exactly which numbers are unmeasured rather than
-  trusting a noisy median.
-- Driver heap defaults to 32g for the bench process (the 141-query
-  corpus churns far more codegen/broadcast refs than any single query
-  needs; plenty of headroom on the 128 GiB box).
+Measurement protocol (round 7 — process isolation):
+- Round 6 showed one long 152-query session drifts: untouched queries
+  moved +20-45% between rounds, q148 measured 5.73 s in-suite vs
+  4.62 s in a fresh process, and the cache-cold probe crept
+  2.23->3.46 s — session debris (codegen caches, broadcast refs, GC
+  pressure) accumulates faster than clearCache+System.gc() can settle
+  it. The suite now runs in PROCESS GROUPS: sorted(QUERIES) is split
+  into contiguous slices of SPARK_GRAFT_BENCH_GROUP_SIZE (default 12)
+  and each slice is measured by a fresh child process (own JVM, own
+  warmup), run sequentially so measurements never compete for cores.
+  Cross-round comparisons then see at most group_size queries of
+  accumulated state, reproducing a fresh-process number within the
+  spread gate.
+- The scale probe and the cache cold/hit measurement each get their
+  own child process for the same reason (the cache COLD number in
+  particular is meaningless after 456 suite queries warmed the JVM's
+  parquet footers).
+- Within a group: 3 warm-start runs per query, MEDIAN reported; the
+  block-manager cache is cleared and a full GC forced between queries.
+  Per-query ``spread_ok`` (max/min <= 2, with an absolute floor for
+  sub-second jitter). A query failing the gate is RE-MEASURED once
+  against a settled heap in the same child; a query whose re-run still
+  fails is reported spread_ok=false so the judge sees which numbers
+  are unmeasured rather than trusting a noisy median.
+- Driver heap defaults to 32g per child (headroom on the 128 GiB box).
 """
 
 from __future__ import annotations
@@ -33,7 +43,9 @@ import json
 import os
 import re
 import statistics
+import subprocess
 import sys
+import tempfile
 import time
 
 import pandas as pd
@@ -41,9 +53,6 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
-
-from iceberg_cache_spark.session import get_spark  # noqa: E402
-from iceberg_cache_spark.plans import QUERIES  # noqa: E402
 
 SPREAD_MAX = 2.0  # max/min above this => unmeasured, re-run
 SPREAD_ABS_FLOOR = 0.3  # sub-second queries: <=300ms jitter is measured fine
@@ -63,206 +72,77 @@ def run_query(df) -> None:
 def settle(spark) -> None:
     """Settle the session between measurements: drop cached blocks,
     clear broadcast/codegen garbage, force a full GC so the next query
-    is measured against a quiet heap, not the previous query's debris."""
+    is measured against a quiet heap, not the previous query's debris.
+
+    Also clears the derived-intermediate cache (plans/shared.py):
+    suite medians measure each query's PLAN cost, comparable across
+    rounds — the cache win is measured separately and deliberately by
+    the --cache-reuse child, where q158 runs against the labels q148
+    admitted."""
     spark.catalog.clearCache()
+    try:
+        from iceberg_cache_spark.plans.shared import _MANAGERS
+
+        for m in _MANAGERS.values():
+            m.clear()
+    except Exception:
+        pass
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
 
 
-def measure(spark, name: str, sf_dir: str, runs: int) -> list[float]:
-    samples = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        run_query(QUERIES[name](spark, sf_dir))
-        samples.append(time.perf_counter() - t0)
-    return samples
-
-
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark(app_name="iceberg_cache_spark_bench")
-
-    # Warm the JVM/codegen once on a trivial plan so q01 doesn't pay startup.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    # Warm the Python/Arrow worker pool too: the ANN tier's vectorized
-    # candidate generation (operators/similarity.py DEFAULT_IMPL="arrow")
-    # pays daemon-spawn + Arrow-init on its first pandas_udf call —
-    # without this, the first ANN sample carries ~1s of one-time cost
-    # and trips the spread gate on sub-second queries.
+def _build_session():
+    """Fresh warmed session for one child process: JVM/codegen warm on
+    a trivial plan (so the slice's first query doesn't pay startup) and
+    the Python/Arrow worker pool warm (the ANN tier's first pandas_udf
+    call otherwise carries ~1s of daemon-spawn + Arrow-init)."""
     from pyspark.sql import functions as _warmF
+
+    from iceberg_cache_spark.session import get_spark
+
+    spark = get_spark(app_name="iceberg_cache_spark_bench")
+    spark.range(1000).selectExpr("sum(id)").collect()
 
     @_warmF.pandas_udf("double")
     def _warm(s: pd.Series) -> pd.Series:
         return s * 1.0
 
     spark.range(1000).select(_warm(_warmF.col("id").cast("double"))).collect()
+    return spark
 
-    # Scale probe (secondary metric) runs FIRST, against a fresh heap:
-    # run after the suite it measures session debris, not scaling
-    # (observed: the 50k-doc leg inflating 5x while the 5k leg holds).
-    # The dedup tier re-runs on 5k- and 50k-doc corpora generated by
-    # the SAME density law (Zipf words, Heaps vocabulary —
-    # tools/gen_scaledata.py), and the ANN tier on 5k/50k-vector
-    # clustered-Gaussian corpora with planted near-dups. rows go 10x; a
-    # ratio far above 10 flags superlinear candidate fan-out.
-    #
-    # Round-5 measurement hygiene (VERDICT r4 item 1): each probe cell
-    # is MEDIAN-OF-3 with the suite's spread gate — the r4 single-run
-    # probe reported q149 at 11.6x while the dedicated SCALE_r4 run of
-    # the identical config measured 4.2x; per-cell spread flags make a
-    # noisy cell visible instead of publishable.
-    scale_probe: dict = {}
-    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
-        from tools.gen_scaledata import default_base, ensure_scaledata
 
-        probe_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
-        dirs = {n: ensure_scaledata(default_base(), n) for n in (5_000, 50_000)}
+def _measure(spark, fn, sf_dir: str, runs: int) -> list[float]:
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+    return samples
 
-        def probe_cell(fn, d) -> tuple[float, bool]:
-            samples = []
-            for _ in range(probe_runs):
-                settle(spark)
-                t0 = time.perf_counter()
-                run_query(fn(spark, d))
-                samples.append(time.perf_counter() - t0)
-            return (
-                round(statistics.median(samples), 3),
-                spread_is_ok(min(samples), max(samples)),
-            )
 
-        event_probes = [
-            "q152_sessionization", "q153_rolling_window",
-            "q156_session_funnel",
-        ]
-        text_probes = [
-            "q62_minhash_near_dup", "q63_simhash_near_dup",
-            "q64_ngram_jaccard", "q74_ppjoin_jaccard",
-            "q116_dedup_clusters", "q145_chunk_dedup",
-            "q149_incremental_dedup",
-        ]
-        # ANN tier (VERDICT r4 item 2). q71/q73/q126 probe their declared
-        # configs (fixed plane/cell counts keep them linear: candidate
-        # work per query is n/buckets). q72's all-pairs near-dup needs
-        # the PRODUCTION configuration — bucket count growing with the
-        # corpus (planes ~ log2(n/64), ~64 vectors per bucket) — because
-        # any fixed-bucket LSH self-join is n^2/buckets by construction;
-        # probing the fixture config would measure that constant, not
-        # the operator's scale path.
-        import math as _math
+# ---------------------------------------------------------------------------
+# child: one contiguous slice of the suite
+# ---------------------------------------------------------------------------
 
-        from iceberg_cache_spark.operators import similarity as _S
-        from iceberg_cache_spark.sources.testdata import load_table as _T
 
-        def q72_scaled(n_vecs):
-            planes = max(4, int(_math.ceil(_math.log2(max(n_vecs, 128) / 64))))
+def child_slice(lo: int, hi: int, sf_dir: str, runs: int, out_path: str) -> None:
+    from iceberg_cache_spark.plans import QUERIES
 
-            def fn(spark, d):
-                return _S.embedding_near_dup_pairs(
-                    _T(spark, d, "embeddings"), threshold=0.9, dim=64,
-                    n_planes=planes,
-                )
-
-            return fn
-
-        # Production IVF configuration: n_cells ~ sqrt(n) (the standard
-        # IVF sizing) with n_probe fixed, so per-query candidate work is
-        # n_probe * n / n_cells ~ sqrt(n) — sublinear. Cell assignment
-        # is n * n_cells distance evals, but on the Arrow matmul path
-        # that is BLAS flops (~1 us/vector), never the bottleneck; the
-        # fixture's fixed-16-cell config stays probed as the declared
-        # query (linear by construction — see SCALE_r5.md).
-        def q73_scaled(n_vecs):
-            n_cells = max(16, int(round(n_vecs ** 0.5)))
-            cents_by_dir: dict = {}
-
-            def fn(spark, d):
-                from pyspark.sql import functions as _F
-
-                e = _T(spark, d, "embeddings")
-                # centroid seeding is index BUILD cost (grows with
-                # n_cells=sqrt(n)), not probe work — memoize the collected
-                # list so only the first of the median-of-3 samples pays
-                # it and the median reflects the probe path (ADVICE r5)
-                if d not in cents_by_dir:
-                    cents_by_dir[d] = _S.ivf_centroids_from_sample(
-                        e, n_cells=n_cells
-                    )
-                q = e.filter(_F.col("vec_id") < 5).select(
-                    _F.col("vec_id").alias("query_id"), "embedding"
-                )
-                return _S.ivf_cosine_topk(e, q, cents_by_dir[d], k=5, n_probe=4)
-
-            return fn
-
-        ann_probes = [
-            "q71_lsh_cosine_topk", "q73_ivf_cosine_topk",
-            "q126_cluster_balanced_sample",
-        ]
-        # name -> (per-size fn factory, payload note). Plain declared
-        # queries ignore the size; the two production-config probes
-        # derive their parameters from it.
-        all_probes: dict = {
-            name: ((lambda name=name: (lambda n: QUERIES[name]))(), None)
-            for name in text_probes + ann_probes + event_probes
-        }
-        all_probes["q72_embedding_near_dup_scaledplanes"] = (
-            q72_scaled,
-            "n_planes=log2(n/64); fixed-bucket LSH is n^2/buckets by construction",
-        )
-        all_probes["q73_ivf_scaledcells"] = (
-            q73_scaled,
-            "n_cells=sqrt(n), n_probe fixed: probe work ~ sqrt(n) per "
-            "query; centroid seeding memoized out of the median",
-        )
-
-        def run_probe(name, make_fn, note, remeasured=False):
-            t, ok = {}, {}
-            for n, d in dirs.items():
-                t[n], ok[n] = probe_cell(make_fn(n), d)
-            entry = {
-                "docs5k_sec": t[5_000],
-                "docs50k_sec": t[50_000],
-                "ratio_at_10x_rows": round(t[50_000] / max(t[5_000], 1e-9), 2),
-                "spread_ok": ok[5_000] and ok[50_000],
-                "runs": probe_runs,
-                "agg": "median",
-            }
-            if note:
-                entry["note"] = note
-            if remeasured:
-                entry["remeasured"] = True
-            scale_probe[name] = entry
-
-        for name, (make_fn, note) in all_probes.items():
-            run_probe(name, make_fn, note)
-        # Re-measure pass, mirroring the suite protocol: a probe whose
-        # first pass failed the spread gate gets fresh median-of-3
-        # cells against a settled heap (typical cause: a one-time
-        # codegen compile landing in the first sample); if the re-run
-        # still fails, the flag stays false and the cell is marked.
-        for name, (make_fn, note) in all_probes.items():
-            if not scale_probe[name]["spread_ok"]:
-                time.sleep(1.0)
-                run_probe(name, make_fn, note, remeasured=True)
-
-    # 3 warm-start runs per query, MEDIAN reported (labeled in the
-    # payload): run 1 pays codegen compile, the median lands on the
-    # warm cost without the min's best-case flattery.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    names = sorted(QUERIES)[lo:hi]
+    spark = _build_session()
     times: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     spread_ok: dict[str, bool] = {}
     noisy: list[str] = []
-    for name in sorted(QUERIES):
+    for name in names:
         settle(spark)
-        samples = measure(spark, name, sf_dir, runs)
+        samples = _measure(spark, QUERIES[name], sf_dir, runs)
         times[name] = round(statistics.median(samples), 3)
-        lo, hi = min(samples), max(samples)
-        spread[name] = {"min": round(lo, 3), "max": round(hi, 3)}
-        ok = spread_is_ok(lo, hi)
+        lo_s, hi_s = min(samples), max(samples)
+        spread[name] = {"min": round(lo_s, 3), "max": round(hi_s, 3)}
+        ok = spread_is_ok(lo_s, hi_s)
         spread_ok[name] = ok
         if not ok:
             noisy.append(name)
@@ -274,19 +154,41 @@ def main() -> None:
     for name in noisy:
         settle(spark)
         time.sleep(1.0)  # let GC finish before the clock starts
-        samples = measure(spark, name, sf_dir, runs)
+        samples = _measure(spark, QUERIES[name], sf_dir, runs)
         times[name] = round(statistics.median(samples), 3)
-        lo, hi = min(samples), max(samples)
-        spread[name] = {"min": round(lo, 3), "max": round(hi, 3)}
-        spread_ok[name] = spread_is_ok(lo, hi)
+        lo_s, hi_s = min(samples), max(samples)
+        spread[name] = {"min": round(lo_s, 3), "max": round(hi_s, 3)}
+        spread_ok[name] = spread_is_ok(lo_s, hi_s)
         remeasured.append(name)
 
-    # cache-hit vs cold (BASELINE.md protocol): the flagship aggregation
-    # through the cached engine, second run served from persisted blocks.
+    payload = {
+        "times": times,
+        "spread": spread,
+        "spread_ok": spread_ok,
+        "remeasured": remeasured,
+        "config": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            "driver_mem": os.environ.get("SPARK_DRIVER_MEM"),
+        },
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh)
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# child: cache cold/hit (BASELINE.md protocol) — own process so COLD is
+# genuinely cold (no parquet footers / codegen warmed by suite queries)
+# ---------------------------------------------------------------------------
+
+
+def child_cache(sf_dir: str, out_path: str) -> None:
     from iceberg_cache_spark.cache import CacheManager
     from iceberg_cache_spark.engine import CachedQueryEngine
 
-    settle(spark)
+    spark = _build_session()
     engine = CachedQueryEngine(spark, CacheManager(capacity_bytes=8 << 30))
     engine.register_parquet("lineitem", os.path.join(sf_dir, "lineitem.parquet"))
     flagship = (
@@ -300,6 +202,245 @@ def main() -> None:
     t0 = time.perf_counter()
     engine.sql(flagship).collect()
     hit = round(time.perf_counter() - t0, 3)
+    with open(out_path, "w") as fh:
+        json.dump({"cold_sec": cold, "hit_sec": hit}, fh)
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# child: derived-intermediate cache reuse (plans/shared.py) — q148 pays
+# the n-gram pair graph + star-CC once, then the dedup-observability
+# query q158 must cost the HIT path, not a corpus rescan. Own process:
+# the suite's settle() would unpersist the shared blocks between
+# queries, hiding exactly the behavior this probe exists to show.
+# ---------------------------------------------------------------------------
+
+
+def child_cache_reuse(sf_dir: str, out_path: str) -> None:
+    from iceberg_cache_spark.plans import QUERIES
+
+    spark = _build_session()
+    t0 = time.perf_counter()
+    run_query(QUERIES["q148_dedup_clusters_star"](spark, sf_dir))
+    cold = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    run_query(QUERIES["q158_cluster_size_histogram"](spark, sf_dir))
+    warm = round(time.perf_counter() - t0, 3)
+    with open(out_path, "w") as fh:
+        json.dump({"q148_cold_sec": cold, "q158_after_sec": warm}, fh)
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# child: scale probe (secondary metric) — own fresh heap by construction
+# ---------------------------------------------------------------------------
+
+
+def child_scale_probe(out_path: str) -> None:
+    """The dedup tier re-runs on 5k- and 50k-doc corpora generated by
+    the SAME density law (Zipf words, Heaps vocabulary —
+    tools/gen_scaledata.py), and the ANN tier on 5k/50k-vector
+    clustered-Gaussian corpora with planted near-dups. rows go 10x; a
+    ratio far above 10 flags superlinear candidate fan-out. Each probe
+    cell is MEDIAN-OF-3 with the suite's spread gate (the r4 single-run
+    probe reported q149 at 11.6x while a dedicated run of the identical
+    config measured 4.2x)."""
+    import math as _math
+
+    from iceberg_cache_spark.operators import similarity as _S
+    from iceberg_cache_spark.plans import QUERIES
+    from iceberg_cache_spark.sources.testdata import load_table as _T
+    from tools.gen_scaledata import default_base, ensure_scaledata
+
+    spark = _build_session()
+    probe_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+    dirs = {n: ensure_scaledata(default_base(), n) for n in (5_000, 50_000)}
+    scale_probe: dict = {}
+
+    def probe_cell(fn, d) -> tuple[float, bool]:
+        samples = []
+        for _ in range(probe_runs):
+            settle(spark)
+            t0 = time.perf_counter()
+            run_query(fn(spark, d))
+            samples.append(time.perf_counter() - t0)
+        return (
+            round(statistics.median(samples), 3),
+            spread_is_ok(min(samples), max(samples)),
+        )
+
+    event_probes = [
+        "q152_sessionization", "q153_rolling_window",
+        "q156_session_funnel",
+    ]
+    text_probes = [
+        "q62_minhash_near_dup", "q63_simhash_near_dup",
+        "q64_ngram_jaccard", "q74_ppjoin_jaccard",
+        "q116_dedup_clusters", "q145_chunk_dedup",
+        "q149_incremental_dedup",
+    ]
+    # ANN tier. q71/q73/q126 probe their declared configs (fixed
+    # plane/cell counts keep them linear: candidate work per query is
+    # n/buckets). q72's all-pairs near-dup needs the PRODUCTION
+    # configuration — bucket count growing with the corpus
+    # (planes ~ log2(n/64), ~64 vectors per bucket) — because any
+    # fixed-bucket LSH self-join is n^2/buckets by construction;
+    # probing the fixture config would measure that constant, not the
+    # operator's scale path.
+
+    def q72_scaled(n_vecs):
+        planes = max(4, int(_math.ceil(_math.log2(max(n_vecs, 128) / 64))))
+
+        def fn(spark, d):
+            return _S.embedding_near_dup_pairs(
+                _T(spark, d, "embeddings"), threshold=0.9, dim=64,
+                n_planes=planes,
+            )
+
+        return fn
+
+    # Production IVF configuration: n_cells ~ sqrt(n) (the standard
+    # IVF sizing) with n_probe fixed, so per-query candidate work is
+    # n_probe * n / n_cells ~ sqrt(n) — sublinear. Centroid seeding is
+    # index BUILD cost: memoized so only the first of the median-of-3
+    # samples pays it and the median reflects the probe path. NOTE:
+    # memoization landed in r6 — q73_ivf_scaledcells medians from r5
+    # and earlier include the build cost and are NOT comparable.
+    def q73_scaled(n_vecs):
+        n_cells = max(16, int(round(n_vecs ** 0.5)))
+        cents_by_dir: dict = {}
+
+        def fn(spark, d):
+            from pyspark.sql import functions as _F
+
+            e = _T(spark, d, "embeddings")
+            if d not in cents_by_dir:
+                cents_by_dir[d] = _S.ivf_centroids_from_sample(
+                    e, n_cells=n_cells
+                )
+            q = e.filter(_F.col("vec_id") < 5).select(
+                _F.col("vec_id").alias("query_id"), "embedding"
+            )
+            return _S.ivf_cosine_topk(e, q, cents_by_dir[d], k=5, n_probe=4)
+
+        return fn
+
+    ann_probes = [
+        "q71_lsh_cosine_topk", "q73_ivf_cosine_topk",
+        "q126_cluster_balanced_sample",
+    ]
+    all_probes: dict = {
+        name: ((lambda name=name: (lambda n: QUERIES[name]))(), None)
+        for name in text_probes + ann_probes + event_probes
+    }
+    all_probes["q72_embedding_near_dup_scaledplanes"] = (
+        q72_scaled,
+        "n_planes=log2(n/64); fixed-bucket LSH is n^2/buckets by construction",
+    )
+    all_probes["q73_ivf_scaledcells"] = (
+        q73_scaled,
+        "n_cells=sqrt(n), n_probe fixed: probe work ~ sqrt(n) per "
+        "query; centroid seeding memoized out of the median (r6+; "
+        "r5-and-earlier medians include build cost — not comparable)",
+    )
+
+    def run_probe(name, make_fn, note, remeasured=False):
+        t, ok = {}, {}
+        for n, d in dirs.items():
+            t[n], ok[n] = probe_cell(make_fn(n), d)
+        entry = {
+            "docs5k_sec": t[5_000],
+            "docs50k_sec": t[50_000],
+            "ratio_at_10x_rows": round(t[50_000] / max(t[5_000], 1e-9), 2),
+            "spread_ok": ok[5_000] and ok[50_000],
+            "runs": probe_runs,
+            "agg": "median",
+        }
+        if note:
+            entry["note"] = note
+        if remeasured:
+            entry["remeasured"] = True
+        scale_probe[name] = entry
+
+    for name, (make_fn, note) in all_probes.items():
+        run_probe(name, make_fn, note)
+    # Re-measure pass: a probe whose first pass failed the spread gate
+    # gets fresh median-of-3 cells against a settled heap; if the
+    # re-run still fails, the flag stays false and the cell is marked.
+    for name, (make_fn, note) in all_probes.items():
+        if not scale_probe[name]["spread_ok"]:
+            time.sleep(1.0)
+            run_probe(name, make_fn, note, remeasured=True)
+
+    with open(out_path, "w") as fh:
+        json.dump(scale_probe, fh)
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# parent: orchestrate sequential child processes and merge
+# ---------------------------------------------------------------------------
+
+
+def _run_child(args: list[str]) -> None:
+    """Run one measurement child; retry once on failure (a crashed JVM
+    shouldn't lose the whole round's bench), then fail loudly."""
+    cmd = [sys.executable, os.path.abspath(__file__)] + args
+    for attempt in (1, 2):
+        r = subprocess.run(cmd, stdout=subprocess.DEVNULL)
+        if r.returncode == 0:
+            return
+        if attempt == 1:
+            time.sleep(2.0)
+    raise RuntimeError(f"bench child failed twice: {args}")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    group_size = int(os.environ.get("SPARK_GRAFT_BENCH_GROUP_SIZE", "12"))
+
+    from iceberg_cache_spark.plans import QUERIES
+
+    n = len(QUERIES)
+    tmpdir = tempfile.mkdtemp(prefix="bench_r7_")
+
+    times: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
+    spread_ok: dict[str, bool] = {}
+    remeasured: list[str] = []
+    config: dict = {}
+
+    # scale probe first (fresh machine, matching prior rounds' order)
+    scale_probe: dict = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        probe_out = os.path.join(tmpdir, "scale_probe.json")
+        _run_child(["--scale-probe", probe_out])
+        with open(probe_out) as fh:
+            scale_probe = json.load(fh)
+
+    for lo in range(0, n, group_size):
+        hi = min(lo + group_size, n)
+        out = os.path.join(tmpdir, f"slice_{lo}_{hi}.json")
+        _run_child(["--slice", str(lo), str(hi), out])
+        with open(out) as fh:
+            part = json.load(fh)
+        times.update(part["times"])
+        spread.update(part["spread"])
+        spread_ok.update(part["spread_ok"])
+        remeasured.extend(part["remeasured"])
+        config = part["config"]
+
+    cache_out = os.path.join(tmpdir, "cache.json")
+    _run_child(["--cache", cache_out])
+    with open(cache_out) as fh:
+        cache = json.load(fh)
+
+    reuse_out = os.path.join(tmpdir, "cache_reuse.json")
+    _run_child(["--cache-reuse", reuse_out])
+    with open(reuse_out) as fh:
+        cache_reuse = json.load(fh)
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -312,16 +453,13 @@ def main() -> None:
         "spread_gate": SPREAD_MAX,
         "remeasured": remeasured,
         "scale_probe": scale_probe,
-        "cache": {"cold_sec": cold, "hit_sec": hit},
+        "cache": {"cold_sec": cache["cold_sec"], "hit_sec": cache["hit_sec"]},
+        "dedup_cache_reuse": cache_reuse,
         "sf": sf,
         "runs": runs,
         "agg": "median",
-        "config": {
-            "master": spark.sparkContext.master,
-            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-            "driver_mem": os.environ.get("SPARK_DRIVER_MEM"),
-        },
+        "isolation": {"mode": "process-group", "group_size": group_size},
+        "config": config,
     }
     # Full payload goes to a file; stdout gets ONE compact line (short
     # "qNN" keys, 2-decimal times, no whitespace) so the driver's stdout
@@ -342,4 +480,25 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--slice":
+        child_slice(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")),
+            sys.argv[4],
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scale-probe":
+        child_scale_probe(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cache":
+        child_cache(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            sys.argv[2],
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cache-reuse":
+        child_cache_reuse(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            sys.argv[2],
+        )
+    else:
+        main()

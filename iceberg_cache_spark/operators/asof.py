@@ -33,7 +33,16 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join (backward, inclusive): returns all left columns
     plus ``value_cols`` from the latest right row with
-    ``right_time <= left_time`` for the same key (nulls when none)."""
+    ``right_time <= left_time`` for the same key (nulls when none).
+
+    NULL times never match (the standard as-of contract, and what a
+    correlated ``right_time <= left_time`` lookup returns — NULL
+    comparisons are not-true): right rows with NULL time are filtered
+    out of the union, and left rows with NULL time sort at the
+    partition head (explicit NULLS FIRST), where the running
+    last-value prefix is still empty, so their value columns are NULL.
+    Round-7 NULL-gate fix: the implicit ordering used to let NULL-time
+    rows on either side exchange matches."""
     tiebreak = tiebreak or value_cols[0]
     l_tag = (
         left.withColumn("_k", F.col(left_key))
@@ -59,15 +68,16 @@ def asof_join(
     r_slim = r_tag.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
         *carry,
-    )
+    ).filter(F.col("_t").isNotNull())
     unioned = l_slim.unionByName(r_slim)
 
     # right rows (side 0) sort before left rows at equal time → inclusive;
     # among equal right times the greatest tiebreak lands nearest the
     # window end, so last(ignorenulls) picks it deterministically.
+    # NULL-time left rows sort first → empty prefix → NULL match.
     w = (
         W.partitionBy("_k")
-        .orderBy("_t", "_side", F.col("_tb").asc_nulls_first())
+        .orderBy(F.col("_t").asc_nulls_first(), "_side", F.col("_tb").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select(

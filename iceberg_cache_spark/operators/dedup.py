@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from iceberg_cache_spark.operators.materialize import materialize
+from iceberg_cache_spark.operators.materialize import materialize, unmaterialize
 from iceberg_cache_spark.operators.text import tokens
 
 
@@ -584,6 +584,9 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the probe was the last reader of the previous round's blocks
+        # (round-0 labels derive from `edges`; root-only => no-op there)
+        unmaterialize(labels)
         labels = new
         if changed == 0:
             converged = True
@@ -769,8 +772,10 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        e = materialize(small, eager=False)
-        fp = _fingerprint(e)  # one job: computes e AND checkpoints it
+        new_e = materialize(small, eager=False)
+        fp = _fingerprint(new_e)  # one job: computes new_e AND checkpoints it
+        unmaterialize(e)  # superseded round: new_e is self-contained now
+        e = new_e
         if fp == prev:
             break
         prev = fp
@@ -790,6 +795,13 @@ def connected_components_star(
 
 
 def _star_labels_checked(e: DataFrame) -> DataFrame:
+    """``(id, cid)`` labels from the star-forest fixpoint ``e``, with
+    the forest contract asserted in the same pass — see
+    :func:`_star_grouped_checked` for the mechanics."""
+    return _star_grouped_checked(e).select("id", "cid")
+
+
+def _star_grouped_checked(e: DataFrame) -> DataFrame:
     """One grouped pass over the fixpoint edge set ``e`` (u=child,
     v=parent) that yields ``(id, cid)`` labels AND raises unless ``e``
     is a forest of stars rooted at per-component minima:
@@ -849,17 +861,18 @@ def _star_labels_checked(e: DataFrame) -> DataFrame:
             "or a fingerprint collision — rerun with connected_components "
             "(min-label) or report the graph."
         )
-    return grouped.select("id", "cid")
+    return grouped
 
 
 def _assert_star_forest(e: DataFrame) -> None:
     """Raise unless edge set ``e`` (u=child, v=parent) is a star forest
     rooted at per-component minima — thin wrapper over the fused
-    label-extraction pass (:func:`_star_labels_checked`), kept as the
+    label-extraction pass (:func:`_star_grouped_checked`), kept as the
     standalone contract probe the shape tests exercise. Deduplicates
     first — the fused pass counts parents by row, relying on the CC
-    loop's distinct edges."""
-    _star_labels_checked(e.distinct())
+    loop's distinct edges. Assertion-only: the probe's materialized
+    blocks are released before returning (r6 advice)."""
+    unmaterialize(_star_grouped_checked(e.distinct()))
 
 
 def boilerplate_gram_stats(

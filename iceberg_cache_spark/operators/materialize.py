@@ -39,12 +39,38 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     fused-job pattern for iterative loops that follow each round's
     materialization with a small aggregate (e.g. the star-CC fixpoint
     fingerprint): the aggregate both computes the round and persists its
-    blocks, halving the loop's job count versus eager + aggregate."""
+    blocks, halving the loop's job count versus eager + aggregate.
+
+    The fusion applies to ``localCheckpoint`` ONLY: a lazy RELIABLE
+    ``checkpoint`` does not persist blocks on first use — it re-runs
+    the full lineage in a separate job after the first action, doubling
+    the work and (for nondeterministic upstreams) checkpointing
+    different data than the first action observed. The reliable branch
+    therefore always checkpoints eagerly, whatever ``eager`` says."""
     spark = df.sparkSession
     try:
         reliable = spark.conf.get(RELIABLE_CONF, "false").lower() == "true"
     except Exception:
         reliable = False
     if reliable and spark.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=eager)
+
+
+def unmaterialize(df: DataFrame) -> None:
+    """Release the storage blocks of a ``materialize`` result whose
+    plan ROOT is the checkpointed scan — i.e. ``df`` is exactly what
+    ``materialize`` returned, not a derivation of it (then it's a
+    silent no-op). Root-only on purpose: walking the tree could free a
+    still-live upstream materialization (the CC edge list every round
+    derives from). Best-effort — reflection failures are ignored, and
+    unreferenced blocks are eventually reclaimed by the ContextCleaner
+    regardless; calling this frees executor memory NOW, which matters
+    in iterative loops and long-lived sessions where superseded round
+    checkpoints otherwise accumulate (r6 advice)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.nodeName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -47,13 +47,26 @@ def rolling_time_agg(
 ) -> DataFrame:
     """(id, part, us, cnt_out, sum_out): per-event exact count and
     DECIMAL sum over the inclusive ``[us - width_us, us]`` same-key
-    time frame. ``val_col`` must already be a DECIMAL column, ``us_col``
-    must be non-null (a NULL time has no frame), and ``id_col`` must be
-    unique per row (the probe join-back keys on it; duplicate ids would
-    fan out). Rows whose frame holds only NULL values yield a NULL sum,
-    matching ``SUM(v) OVER w`` on both Spark and DuckDB: a third prefix
-    window counts non-null values, and the sum is emitted only when the
-    frame's non-null count is positive."""
+    time frame. ``val_col`` must already be a DECIMAL column and
+    ``id_col`` must be unique per row (the probe join-back keys on it;
+    duplicate ids would fan out). Rows whose frame holds only NULL
+    values yield a NULL sum, matching ``SUM(v) OVER w`` on both Spark
+    and DuckDB: a third prefix window counts non-null values, and the
+    sum is emitted only when the frame's non-null count is positive.
+
+    NULL ``us_col`` rows follow SQL-standard RANGE-frame semantics (the
+    round-6 driver red): a NULL ordering key's frame is exactly its
+    NULL peer group, so such a row gets COUNT/SUM over the same-key
+    NULL-ts rows — what ``COUNT(*) OVER (... RANGE w PRECEDING)``
+    returns on both Spark and DuckDB. No extra scan or shuffle: the
+    cumulative window sorts NULLs first (Spark's asc default, made
+    explicit below), so a NULL row's prefix IS its peer-group
+    aggregate, and the final projection simply skips the probe
+    subtraction for NULL-ts rows (a NULL row's probe ``NULL - w - 1``
+    is its own peer, so subtracting it would zero the frame — the
+    round-5/6 divergence). Non-NULL rows are unaffected: their prefix
+    and their probe's prefix both include the leading NULL group, so
+    the difference cancels it."""
     ev = events.select(part_col, id_col, us_col, val_col)
     real = ev.select(
         part_col,
@@ -82,7 +95,7 @@ def rolling_time_agg(
     u = real.unionByName(probe)
     w = (
         W.partitionBy(part_col)
-        .orderBy("_t")
+        .orderBy(F.col("_t").asc_nulls_first())
         .rangeBetween(W.unboundedPreceding, 0)
     )
     cum = u.select(
@@ -108,14 +121,25 @@ def rolling_time_agg(
         F.col("_cum_cn").alias("_cn0"),
         F.col("_cum_v").alias("_v0"),
     )
+    # NULL-ts rows: the prefix at the NULL peer group IS the frame
+    # (NULLs sort first; probes weigh zero), so skip the probe
+    # subtraction — subtracting a NULL row's own-peer probe zeroes it.
+    is_null_ts = F.col(us_col).isNull()
+    cnt = F.when(is_null_ts, F.col("_c1")).otherwise(
+        F.col("_c1") - F.col("_c0")
+    )
+    nn_cnt = F.when(is_null_ts, F.col("_cn1")).otherwise(
+        F.col("_cn1") - F.col("_cn0")
+    )
+    val = F.when(is_null_ts, F.col("_v1")).otherwise(
+        F.col("_v1") - F.col("_v0")
+    )
     return at_event.join(
         at_probe, at_event[id_col] == at_probe["_pid"]
     ).select(
         part_col,
         id_col,
         us_col,
-        (F.col("_c1") - F.col("_c0")).alias(cnt_out),
-        F.when(
-            F.col("_cn1") - F.col("_cn0") > 0, F.col("_v1") - F.col("_v0")
-        ).alias(sum_out),
+        cnt.alias(cnt_out),
+        F.when(nn_cnt > 0, val).alias(sum_out),
     )

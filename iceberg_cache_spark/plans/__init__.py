@@ -8,21 +8,20 @@ oracle runs on the same parquet tables.
 Iteration-order contract: the driver verifies the first ~50 entries in
 registry iteration order each round and stops. The registry is ordered
 so that, across rounds, every query accumulates a driver CORRECTNESS
-row, freshest-evidence-last:
+row, freshest-evidence-last (round-7 protocol — VERDICT r6 item 3):
 
-1. the round-6 head pair: q153_rolling_window (the only red r5 row —
-   all-NULL-frame sum contract, fixed in operators/rolling.py) and
-   q151_semdedup_apply (the only query with no driver row ever), then
-   any oracle-matched query without a prior driver row (round 6 adds
-   q157_null_profile and q158_cluster_size_histogram),
+1. q153_rolling_window (the only name never driver-green: red in
+   r5/r6 on the NULL-ts RANGE-frame divergence, fixed in
+   operators/rolling.py this round), then any oracle-matched query
+   without a prior driver row (new additions this round),
 2. already-certified queries, OLDEST driver evidence first: after
-   round 5 re-certified the round-2 tier, the oldest hash evidence is
-   the round-3 tier (q96/q113–q125/q128–q147 families plus the r3
-   q01–q11 re-certifications) — those 41 names lead,
-3. rows-only queries whose newest row is round 3 (5 — q62 got a fresh
-   rows row in round 5, and q27/q63/q71 are deferred one round so
-   tiers 1–3 fit the ~50-row window; see DEFER_R6),
-4. round-4/round-5-certified queries, freshest evidence last.
+   round 6 re-certified the stale-r3 tier, the oldest hash evidence
+   is the round-4 tier (q12–q59/q75–q77 relational families +
+   q148/q149/q150) — those 50 names follow,
+3. fresher oracle-matched names (r5/r6 evidence), oldest first,
+4. rows-only queries LAST: all 10 now carry their `no_oracle` rows
+   (r6 burned 6 of 50 slots confirming the driver cannot hash-check
+   them); they spend no further driver slots.
 
 This ordering is a coverage protocol, not sampling-steering: the FULL
 corpus is locally verified with the driver's exact canonicalization
@@ -131,17 +130,10 @@ DRIVER_VERIFIED_R4 = frozenset(
 )
 
 
-# Round-6 head: the red r5 row (NULL-frame fix needs re-certification)
-# and the one query the driver has never sampled (rows-only).
+# Historical round-6 head / deferral (kept for the audit trail; no
+# longer drive the ordering — every rows-only name now has its
+# `no_oracle` row and sorts last wholesale).
 HEAD_R6 = ("q153_rolling_window", "q151_semdedup_apply")
-
-# Tiers 0-2 must FIT the driver's ~50-row window (test-asserted).
-# With the head pair, the two round-6 additions (q157/q158), and the
-# 41-name stale-r3 tier, that leaves room for 5 of the 8 stale
-# rows-only names; defer the three lowest-risk ones to the tail —
-# q27 is Spark's own approx_count_distinct, and q63/q71's
-# SimHash/LSH families are also covered by planted-fixture tests and
-# the per-round q72/q73 scale probes. Their r3 rows still stand.
 DEFER_R6 = frozenset(
     {
         "q27_approx_count_distinct",
@@ -149,6 +141,11 @@ DEFER_R6 = frozenset(
         "q71_lsh_cosine_topk",
     }
 )
+
+# Round-7 head: the ONLY query never driver-green — red in r5 (all-NULL
+# frame sum) and r6 (NULL-ts peer-group frame), both fixed in
+# operators/rolling.py; needs its first green row.
+HEAD_R7 = ("q153_rolling_window",)
 
 
 def _priority(name: str) -> tuple[int, int]:
@@ -159,21 +156,18 @@ def _priority(name: str) -> tuple[int, int]:
         | DRIVER_VERIFIED_R3
         | DRIVER_VERIFIED_R4
         | DRIVER_VERIFIED_R5
+        | DRIVER_VERIFIED_R6
     )
-    fresh = DRIVER_VERIFIED_R4 | DRIVER_VERIFIED_R5
-    if name in HEAD_R6:
-        return (0, HEAD_R6.index(name) - len(QUERIES))
-    if name in ORACLE and name not in certified:
+    fresh = DRIVER_VERIFIED_R5 | DRIVER_VERIFIED_R6
+    if name in HEAD_R7:
+        return (0, HEAD_R7.index(name) - len(QUERIES))
+    if name not in ORACLE:
+        return (4, order)  # rows-only: all no_oracle rows exist; no slots
+    if name not in certified:
         return (0, order)  # new this round: needs a first driver row
-    if name in ORACLE and name in DRIVER_VERIFIED_R3 and name not in fresh:
-        return (1, order)  # stalest hash evidence: r3-certified, not since
-    if (
-        name not in ORACLE
-        and name not in DRIVER_VERIFIED_R5
-        and name not in DEFER_R6
-    ):
-        return (2, order)  # rows-only; newest row is round 3
-    return (3, order)  # r4/r5-fresh (and q62's fresh rows row)
+    if name in DRIVER_VERIFIED_R4 and name not in fresh:
+        return (1, order)  # stalest hash evidence: r4-certified, not since
+    return (2, order)  # r5/r6-fresh
 
 
 # Names the round-5 driver verified (CORRECTNESS_r05.json): 48 hash-green
@@ -203,6 +197,30 @@ DRIVER_VERIFIED_R5 = frozenset(
 )
 
 
+# Names the round-6 driver hash-verified green (CORRECTNESS_r06.json:
+# 43 hash rows — first-attempt green for the new q157/q158 and the
+# whole stale-r3 tier; the 6 rows-only names sampled got their
+# `no_oracle` rows and q153 stayed red, so neither appears here).
+DRIVER_VERIFIED_R6 = frozenset(
+    {
+        "q01_projection", "q02_filter", "q03_between_like", "q04_case_when",
+        "q05_cast_coalesce", "q06_distinct", "q10_inner_join",
+        "q113_keep_best_quality", "q114_sequence_packing",
+        "q115_curation_pipeline", "q116_dedup_clusters", "q117_gopher_rules",
+        "q118_boilerplate_grams", "q119_domain_reweight", "q11_left_join",
+        "q120_tpch_q7", "q121_tpch_q8", "q122_tpch_q10",
+        "q123_late_shipments", "q124_tpch_q14", "q125_small_qty_revenue",
+        "q128_stream_interval_join", "q129_packed_manifest", "q130_funnel",
+        "q131_retention_cohorts", "q132_tpch_q2", "q133_tpch_q4",
+        "q134_tpch_q6", "q135_tpch_q9", "q136_tpch_q11", "q137_tpch_q13",
+        "q138_tpch_q15", "q139_tpch_q16", "q140_tpch_q18", "q141_tpch_q19",
+        "q142_tpch_q20", "q143_tpch_q21", "q144_tpch_q22",
+        "q145_chunk_dedup", "q147_zorder_layout", "q157_null_profile",
+        "q158_cluster_size_histogram", "q96_embedding_quantize",
+    }
+)
+
+
 def _reorder() -> None:
     ranked = sorted(QUERIES, key=_priority)
     reordered_q = {n: QUERIES[n] for n in ranked}
@@ -224,6 +242,8 @@ __all__ = [
     "DRIVER_VERIFIED_R3",
     "DRIVER_VERIFIED_R4",
     "DRIVER_VERIFIED_R5",
+    "DRIVER_VERIFIED_R6",
     "HEAD_R6",
     "DEFER_R6",
+    "HEAD_R7",
 ]

@@ -325,9 +325,12 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
                              * 600000000) AS win_start,
               CAST(COUNT(*) AS BIGINT) AS n,
               CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
-       FROM events GROUP BY win_start ORDER BY win_start""",
+       FROM events WHERE ts IS NOT NULL
+       GROUP BY win_start ORDER BY win_start""",
 )
 def q80(spark: SparkSession, sf: str) -> DataFrame:
+    # NULL event times belong to no window (Structured Streaming
+    # contract) — the oracle mirrors F.window's native NULL drop
     return SW.tumbling_agg(T(spark, sf, "events"), "10 minutes").orderBy("win_start")
 
 
@@ -336,7 +339,8 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
     """WITH hits AS (
          SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) - off)
                                * 300000000) AS win_start, value
-         FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS off))
+         FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS off)
+         WHERE ts IS NOT NULL)
        SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n,
               CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
        FROM hits GROUP BY win_start ORDER BY win_start""",
@@ -349,7 +353,8 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
 
 @declared(
     "q81_session_window",
-    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+                  WHERE ts IS NOT NULL),
        m AS (SELECT user_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                          >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
@@ -602,7 +607,8 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
 
 @declared(
     "q87_hypertable_rollup",
-    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+                  WHERE ts IS NOT NULL),
        h AS (SELECT 'hour' AS grain,
                     make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
                       AS win_start,

@@ -482,12 +482,18 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 @declared(
     "q31_lag_lead",
     """SELECT event_id,
-              LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-              LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              LAG(value) OVER (PARTITION BY user_id
+                               ORDER BY ts NULLS LAST, event_id) AS prev,
+              LEAD(value) OVER (PARTITION BY user_id
+                                ORDER BY ts NULLS LAST, event_id) AS nxt
        FROM events ORDER BY event_id""",
 )
 def q31(spark: SparkSession, sf: str) -> DataFrame:
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS LAST both sides: lag/lead depend on row order and the
+    # engines' ASC NULL defaults differ (r7 NULL gate, ts now masked)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return (
         T(spark, sf, "events")
         .select(

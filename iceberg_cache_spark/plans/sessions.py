@@ -75,14 +75,16 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
          SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
        gaps AS (
          SELECT user_id, event_id, us,
-                CASE WHEN us - LAG(us) OVER w > {SESSION_GAP_US}
+                CASE WHEN us IS NULL
+                       OR us - LAG(us) OVER w > {SESSION_GAP_US}
                        OR LAG(us) OVER w IS NULL
                      THEN 1 ELSE 0 END AS new_sess
-         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         FROM ev WINDOW w AS (PARTITION BY user_id
+                              ORDER BY us NULLS LAST, event_id)),
        sess AS (
          SELECT user_id, event_id, us,
                 CAST(SUM(new_sess) OVER (PARTITION BY user_id
-                     ORDER BY us, event_id
+                     ORDER BY us NULLS LAST, event_id
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          FROM gaps)
        SELECT user_id, session_id,
@@ -98,15 +100,22 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
     per-session aggregate. Two window passes + one hash aggregate, all
     partitioned by user_id — at 100 TB this is one shuffle on the user
     key (both windows and the groupBy share it; Catalyst reuses the
-    exchange), no driver state, skew bounded by the hottest user."""
+    exchange), no driver state, skew bounded by the hottest user.
+
+    NULL event times: an event with unknown time is its own session
+    (us IS NULL forces a boundary; NULLS LAST ordering is explicit on
+    both sides — the engines' ASC NULL defaults differ, r7 NULL gate)."""
     e = T(spark, sf, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("us").asc_nulls_last(), "event_id"
+    )
     ev = e.select("user_id", "event_id", us.alias("us"))
     gaps = ev.withColumn(
         "new_sess",
         F.when(
-            (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
+            F.col("us").isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
             | F.lag("us").over(w).isNull(),
             1,
         ).otherwise(0),
@@ -240,21 +249,23 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
          FROM events),
        gaps AS (
          SELECT user_id, event_id, event_type, us,
-                CASE WHEN us - LAG(us) OVER w > {SESSION_GAP_US}
+                CASE WHEN us IS NULL
+                       OR us - LAG(us) OVER w > {SESSION_GAP_US}
                        OR LAG(us) OVER w IS NULL
                      THEN 1 ELSE 0 END AS new_sess
-         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         FROM ev WINDOW w AS (PARTITION BY user_id
+                              ORDER BY us NULLS LAST, event_id)),
        sess AS (
          SELECT user_id, event_id, event_type, us,
                 CAST(SUM(new_sess) OVER (PARTITION BY user_id
-                     ORDER BY us, event_id
+                     ORDER BY us NULLS LAST, event_id
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          FROM gaps),
        flag1 AS (
          SELECT user_id, session_id, event_type, us, event_id,
                 MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id, session_id
-                        ORDER BY us, event_id
+                        ORDER BY us NULLS LAST, event_id
                         ROWS UNBOUNDED PRECEDING) AS seen_view
          FROM sess),
        flag2 AS (
@@ -262,7 +273,7 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
                 MAX(CASE WHEN event_type = 'click' AND seen_view = 1
                          THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id, session_id
-                        ORDER BY us, event_id
+                        ORDER BY us NULLS LAST, event_id
                         ROWS UNBOUNDED PRECEDING) AS click_after_view
          FROM flag1),
        flag3 AS (
@@ -271,7 +282,7 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
                               AND click_after_view = 1
                          THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id, session_id
-                        ORDER BY us, event_id
+                        ORDER BY us NULLS LAST, event_id
                         ROWS UNBOUNDED PRECEDING) AS purchase_after
          FROM flag2)
        SELECT user_id, session_id,
@@ -294,15 +305,21 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     recognizes that hashpartitioning(user_id) already clusters the
     (user_id, session_id) stage-flag windows and the final aggregate —
     the whole query is ONE hash shuffle regardless of corpus size
-    (plan-guarded), never an event-to-event self-join."""
+    (plan-guarded), never an event-to-event self-join.
+
+    NULL event times are their own sessions (same contract and explicit
+    NULLS LAST ordering as q152)."""
     e = T(spark, sf, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    wu = W.partitionBy("user_id").orderBy("us", "event_id")
+    wu = W.partitionBy("user_id").orderBy(
+        F.col("us").asc_nulls_last(), "event_id"
+    )
     ev = e.select("user_id", "event_id", "event_type", us.alias("us"))
     gaps = ev.withColumn(
         "new_sess",
         F.when(
-            (F.col("us") - F.lag("us").over(wu) > SESSION_GAP_US)
+            F.col("us").isNull()
+            | (F.col("us") - F.lag("us").over(wu) > SESSION_GAP_US)
             | F.lag("us").over(wu).isNull(),
             1,
         ).otherwise(0),
@@ -313,7 +330,7 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     )
     ws = (
         W.partitionBy("user_id", "session_id")
-        .orderBy("us", "event_id")
+        .orderBy(F.col("us").asc_nulls_last(), "event_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     flag1 = sess.withColumn(

@@ -1,0 +1,78 @@
+"""Session-scoped cache for expensive derived intermediates.
+
+The dedup tier's most expensive stage — the exact n-gram-Jaccard pair
+graph + its connected-component labels over ``documents`` — is
+consumed by THREE declared queries (q148 clusters, q150 kill-path
+report, q158 cluster-size histogram). Before round 7 each recomputed
+it from the raw corpus: three inverted-index joins + three star-CC
+fixpoints per suite pass, ~4 s each at sf0.1.
+
+This module routes the labels through the engine's own
+:class:`~iceberg_cache_spark.cache.CacheManager` (the reference's
+raison d'être, ref ``src/core/cache_node.py:127-162``, applied to a
+DERIVED result instead of a table scan): the first consumer pays the
+computation and admits the persisted labels under a
+``CacheKey`` of (corpus dir, operator fingerprint); later consumers in
+the same session are cache hits — the dedup-observability query after
+the dedup run costs the hit path, not a corpus rescan.
+
+One manager per SparkContext (keyed by applicationId): persisted
+blocks die with the session, so a fresh session must start with a
+fresh manager — a stale entry would hand out DataFrames whose blocks
+(and local-checkpoint lineage roots) no longer exist.
+
+q116 deliberately does NOT share these labels: it recomputes the
+components with the independent min-label algorithm, and its
+hash-equality with q148's oracle is the cross-algorithm correctness
+proof — sharing would prove nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_cache_spark.cache import CacheManager
+from iceberg_cache_spark.cache.keys import CacheKey
+
+# derived intermediates are mid-size (labels: one row per doc in a
+# dup-pair); 2 GiB is plenty at bench scale and a bounded footprint on
+# a shared driver
+_CAPACITY_BYTES = 2 << 30
+
+_MANAGERS: dict[str, CacheManager] = {}
+
+
+def corpus_cache(spark: SparkSession) -> CacheManager:
+    """The session's derived-intermediate cache (created on first use).
+    Keyed by applicationId so a new SparkContext never sees entries
+    whose persisted blocks belonged to a dead session."""
+    app_id = spark.sparkContext.applicationId
+    mgr = _MANAGERS.get(app_id)
+    if mgr is None:
+        _MANAGERS.clear()  # at most one live local SparkContext at a time
+        mgr = _MANAGERS[app_id] = CacheManager(capacity_bytes=_CAPACITY_BYTES)
+    return mgr
+
+
+def ngram_cc_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """``(id, cid)`` star-CC labels of the exact n-gram-Jaccard >= 0.5
+    pair graph over ``documents`` — computed once per (session, corpus
+    dir) and served from the cache manager afterwards. The key's
+    operator fingerprint pins every parameter that changes the result,
+    so a tuning change can never serve stale labels."""
+    from iceberg_cache_spark.operators import dedup as _D
+    from iceberg_cache_spark.sources.testdata import load_table as T
+
+    key = CacheKey.of(
+        f"{sf}/documents",
+        partition_filter={"derived": "jaccard_cc", "n": 3, "threshold": "0.5",
+                          "algo": "star"},
+    )
+
+    def loader() -> DataFrame:
+        pairs = _D.ngram_jaccard_pairs(
+            T(spark, sf, "documents"), n=3, threshold=0.5
+        ).select("id_a", "id_b")
+        return _D.connected_components_star(pairs)
+
+    return corpus_cache(spark).get_or_load(key, loader)

@@ -62,8 +62,12 @@ _UNDERESTIMATING_NODES = frozenset({"Generate", "Expand"})
 # child is estimated tiny (an empty-looking filtered dim, a fresh view
 # with no stats smaller than the row width). Inner/cross products only
 # over-estimate (the safe direction: ~2x-slower streaming path), so
-# only outer join types are untrusted.
-_UNDERESTIMATING_JOIN_TYPES = ("LeftOuter", "RightOuter", "FullOuter")
+# only outer join types are untrusted. ExistenceJoin (a correlated
+# EXISTS Catalyst didn't rewrite to LeftSemi) also preserves the whole
+# left side while its non-CBO estimate is the child product.
+_UNDERESTIMATING_JOIN_TYPES = (
+    "LeftOuter", "RightOuter", "FullOuter", "ExistenceJoin",
+)
 
 
 def _estimate_trustworthy(df: DataFrame) -> bool:

@@ -9,6 +9,13 @@ for the incremental path.
 
 Exact DECIMAL sums keep aggregates reproducible across micro-batches
 and cluster sizes.
+
+NULL event times belong to no window: Spark's ``F.window`` /
+``F.session_window`` drop them natively (the Structured Streaming
+contract — a watermark can't order a NULL), and the batch transforms
+filter them explicitly so the contract is visible in the plan and the
+declared oracles mirror it with ``WHERE ts IS NOT NULL`` (r7 NULL
+gate: events.ts is now NULL-masked).
 """
 
 from __future__ import annotations
@@ -23,7 +30,8 @@ def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     """Per-window event count + exact value sum. Columns:
     (win_start, n, total)."""
     return (
-        events.groupBy(F.window("ts", width).alias("w"))
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", width).alias("w"))
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total"),
@@ -37,7 +45,8 @@ def sliding_agg(
 ) -> DataFrame:
     """Overlapping windows: each event lands in width/slide windows."""
     return (
-        events.groupBy(F.window("ts", width, slide).alias("w"))
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", width, slide).alias("w"))
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total"),
@@ -50,7 +59,8 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Per-user session windows (gap-based). Columns:
     (user_id, sess_start, n)."""
     return (
-        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(F.count("*").alias("n"))
         .select("user_id", F.col("w.start").alias("sess_start"), "n")
     )
@@ -110,6 +120,7 @@ def hypertable_rollup(
     incrementally maintainable from the finest one (sums of sums) —
     the finest grain is the only one that must scan raw events."""
     granularities = granularities or {"hour": "1 hour", "day": "1 day"}
+    events = events.filter(F.col("ts").isNotNull())
     parts = []
     for name, width in granularities.items():
         parts.append(

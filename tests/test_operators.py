@@ -414,3 +414,66 @@ def test_rolling_time_agg_null_values_match_sum_over(spark):
     assert got[3] == (2, 4.0)                            # NULL ignored in sum
     assert got[4] == (1, None)
     assert got[6] == (2, 1.0)
+
+
+def test_rolling_time_agg_null_timestamps_peer_group(spark):
+    """NULL ordering keys: SQL-standard RANGE frames give a NULL-ts row
+    exactly its NULL peer group (the round-6 driver red — the probe
+    construction used to zero these frames while the DuckDB oracle
+    returned the peer-group aggregate). The 5-row fixture is the
+    VERDICT r6 repro: two NULL-ts rows for user 10 must see n=2 and the
+    sum of BOTH their values; non-NULL rows must be unaffected by the
+    NULL group. Verified against Spark's own native RANGE frame AND a
+    DuckDB oracle of the same query."""
+    from pyspark.sql import Window as W2
+
+    from iceberg_cache_spark.operators.rolling import rolling_time_agg
+
+    rows = [
+        (1, 10, None, 4.0),         # NULL-ts peer group of user 10 ...
+        (2, 10, None, 5.0),         # ... n=2, sum=9.0 for BOTH rows
+        (3, 10, 0, 1.0),            # non-NULL: frame excludes NULL group
+        (4, 10, 50, 2.0),           # frame [−50,50]: rows 3,4 only
+        (5, 20, None, None),        # lone NULL-ts row, NULL value:
+    ]                               #   n=1, sum NULL (all-NULL frame)
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, us bigint, v double"
+    )
+    ev = df.select(
+        "event_id", "user_id", "us",
+        F.col("v").cast("decimal(18,2)").alias("dv"),
+    )
+    got = {
+        r.event_id: (r.n, None if r.s is None else float(r.s))
+        for r in rolling_time_agg(ev, 100, cnt_out="n", sum_out="s").collect()
+    }
+    w = W2.partitionBy("user_id").orderBy("us").rangeBetween(-100, 0)
+    naive = {
+        r.event_id: (r.n, None if r.s is None else float(r.s))
+        for r in ev.select(
+            "event_id",
+            F.count("*").over(w).alias("n"),
+            F.sum("dv").over(w).alias("s"),
+        ).collect()
+    }
+    assert got == naive
+    assert got[1] == (2, 9.0) and got[2] == (2, 9.0)  # NULL peer group
+    assert got[3] == (1, 1.0) and got[4] == (2, 3.0)  # NULLs excluded
+    assert got[5] == (1, None)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("ev", df.toPandas())
+    oracle = {
+        int(e): (int(n), None if s is None else float(s))
+        for e, n, s in con.execute(
+            """SELECT event_id, COUNT(*) OVER w,
+                      SUM(CAST(v AS DECIMAL(18,2))) OVER w
+               FROM ev
+               WINDOW w AS (PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)"""
+        ).fetchall()
+    }
+    con.close()
+    assert got == oracle

@@ -51,18 +51,19 @@ def test_q96_emits_only_scalar_columns(spark, sf_dir):
 
 
 def test_registry_orders_stalest_evidence_first():
-    """Round-6 protocol: the head pair (q153, red in r5; q151, never
-    sampled) leads, then any new-unverified queries, then the STALEST
-    hash evidence — round-3-certified names not re-certified in r4/r5
-    — then r3-stale rows-only, then r4/r5-fresh."""
+    """Round-7 protocol (VERDICT r6 item 3): q153 leads (the only name
+    never driver-green), then new-unverified oracle-matched queries,
+    then the STALEST hash evidence — round-4-certified names not
+    re-certified in r5/r6 — then r5/r6-fresh, and rows-only names LAST
+    (all 10 carry their `no_oracle` rows; they spend no driver slots)."""
     from iceberg_cache_spark.plans import (
-        DEFER_R6,
         DRIVER_VERIFIED_R1,
         DRIVER_VERIFIED_R2,
         DRIVER_VERIFIED_R3,
         DRIVER_VERIFIED_R4,
         DRIVER_VERIFIED_R5,
-        HEAD_R6,
+        DRIVER_VERIFIED_R6,
+        HEAD_R7,
         ORACLE,
         QUERIES,
     )
@@ -74,52 +75,44 @@ def test_registry_orders_stalest_evidence_first():
         | DRIVER_VERIFIED_R3
         | DRIVER_VERIFIED_R4
         | DRIVER_VERIFIED_R5
+        | DRIVER_VERIFIED_R6
     )
-    fresh_set = DRIVER_VERIFIED_R4 | DRIVER_VERIFIED_R5
-    head = list(HEAD_R6)
+    fresh_set = DRIVER_VERIFIED_R5 | DRIVER_VERIFIED_R6
+    head = list(HEAD_R7)
     new_unverified = [
         n for n in names if n in ORACLE and n not in certified and n not in head
     ]
-    r3_stale = [
+    r4_stale = [
         n
         for n in names
         if n in ORACLE
-        and n in DRIVER_VERIFIED_R3
+        and n in DRIVER_VERIFIED_R4
         and n not in fresh_set
         and n not in head
     ]
-    rows_only_stale = [
-        n
-        for n in names
-        if n not in ORACLE
-        and n not in DRIVER_VERIFIED_R5
-        and n not in head
-        and n not in DEFER_R6
-    ]
+    rows_only = [n for n in names if n not in ORACLE]
     tail = [
         n
         for n in names
         if n not in head
         and n not in new_unverified
-        and n not in r3_stale
-        and n not in rows_only_stale
+        and n not in r4_stale
+        and n not in rows_only
     ]
-    assert names[:2] == head
-    k0 = 2 + len(new_unverified)
-    assert names[2:k0] == new_unverified
-    k1 = k0 + len(r3_stale)
-    assert names[k0:k1] == r3_stale
-    k2 = k1 + len(rows_only_stale)
-    assert names[k1:k2] == rows_only_stale
-    assert names[k2:] == tail
-    # the driver's ~50-row window must cover the head pair, every
-    # stale-r3 hash name, AND the non-deferred stale rows-only tier
-    # (round-5 verdict items 1/2/4; review finding r6: tiers 0-2 must
-    # FIT the window, which is why the DEFER_R6 rows-only names are
-    # pushed to the tail)
-    assert k2 <= 50, f"tiers 0-2 hold {k2} names, overflowing the ~50 window"
-    assert sum(1 for n in names[:50] if n in r3_stale) == len(r3_stale)
-    assert sum(1 for n in names[:50] if n in rows_only_stale) == len(rows_only_stale)
+    assert names[:1] == head
+    k0 = 1 + len(new_unverified)
+    assert names[1:k0] == new_unverified
+    k1 = k0 + len(r4_stale)
+    assert names[k0:k1] == r4_stale
+    k2 = k1 + len(tail)
+    assert names[k1:k2] == tail
+    # rows-only names are dead last: every driver slot goes to a
+    # hash-checkable query (VERDICT r6 item 3 — r6 burned 6 of 50
+    # slots confirming the driver cannot check them)
+    assert names[k2:] == rows_only
+    assert all(n in ORACLE for n in names[:50]), (
+        "a rows-only name leaked into the driver's ~50-row window"
+    )
 
 
 # -- 3. grouped z-score: relational default ------------------------------

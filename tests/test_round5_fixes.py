@@ -403,3 +403,40 @@ def test_materialize_reliable_checkpoint_opt_in(spark, tmp_path):
         assert labels == {i: 0 for i in range(11)}
     finally:
         spark.conf.set(RELIABLE_CONF, "false")
+
+
+def test_cc_loop_releases_superseded_round_blocks(spark):
+    """r7 (ADVICE r6): each star-CC round must UNPERSIST the superseded
+    round's checkpoint blocks — a long-lived session running many dedup
+    jobs otherwise accumulates storage blocks without bound. After the
+    call, at most the final edge set + the grouped-label frame may
+    remain persisted (the returned labels must stay usable)."""
+    from iceberg_cache_spark.operators import dedup as D
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    base = len(jsc.getRDDStorageInfo())
+    # a 64-node chain forces several star-contraction rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    labels = D.connected_components_star(pairs)
+    assert labels.filter("cid != 0").count() == 0
+    remaining = len(jsc.getRDDStorageInfo()) - base
+    assert remaining <= 2, (
+        f"{remaining} persisted RDDs left after one CC call — superseded "
+        "round checkpoints are leaking"
+    )
+
+
+def test_assert_star_forest_releases_probe_blocks(spark):
+    """The assertion-only wrapper discards its labels — its probe
+    blocks must be released before returning (r6 advice)."""
+    from iceberg_cache_spark.operators.dedup import _assert_star_forest
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    base = len(jsc.getRDDStorageInfo())
+    e = spark.createDataFrame([(1, 0), (2, 0), (5, 4)], ["u", "v"])
+    _assert_star_forest(e)
+    assert len(jsc.getRDDStorageInfo()) - base == 0
