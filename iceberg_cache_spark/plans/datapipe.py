@@ -530,3 +530,131 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+from iceberg_cache_spark.operators.text import tokens as _text_tokens  # noqa: E402
+
+SPAN_K = 5  # tokens per span
+SPAN_MIN_DF = 2  # repeated = seen in >= 2 distinct documents
+SPAN_TOP = 200
+
+
+@declared(
+    "q159_repeated_spans",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       spans AS (
+         SELECT doc_id,
+                array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+{SPAN_K} AS BIGINT)],
+                                ' ') AS span
+         FROM toks,
+              UNNEST(range(greatest(len(t) - {SPAN_K - 1}, 1))) AS u(i)),
+       f AS (SELECT doc_id, span FROM spans WHERE span <> ''),
+       reg AS (
+         SELECT span,
+                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_occ
+         FROM f GROUP BY span
+         HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DF})
+       SELECT span, n_docs, n_occ FROM reg
+       ORDER BY n_docs DESC, n_occ DESC, span LIMIT {SPAN_TOP}""",
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-span registry: the top cross-document {K}-token spans —
+    the excision candidate list a substring-dedup pass (C4/RefinedWeb
+    style, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better") consumes. q118's per-doc boilerplate EXPOSURE says
+    how contaminated each document is; this query produces the REGISTRY
+    of offending spans themselves (span, distinct-doc count, total
+    occurrences), deterministic top-{TOP} by reach.
+
+    Plan shape at 100 TB: one exploded-span hash aggregate (map-side
+    combine on the span key) and a TakeOrdered top-k — never a global
+    sort. Count-distinct over doc_id rides Spark's two-phase partial
+    aggregation. At petabyte scale the group key would be the span's
+    64-bit fingerprint (xxhash64) rather than the text — same plan,
+    ~10x narrower shuffle rows — with text recovered by a second join
+    against one representative occurrence; the declared query groups by
+    text so the DuckDB oracle is engine-portable. Sub-{K}-token
+    documents contribute their whole text as one short span (both
+    engines index max(n-{K}+1, 1) spans); empty/NULL texts contribute
+    nothing (the span <> '' gate fails on '' and on NULL)."""
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", _text_tokens(F.col("text")).alias("t"))
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("t")) - SPAN_K, F.lit(0))
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(F.col("t"), i + 1, SPAN_K), " ")
+            )
+        ).alias("span"),
+    ).filter(F.col("span") != "")
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DF)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "span")
+        .limit(SPAN_TOP)
+    )
+
+
+q159.__doc__ = q159.__doc__.replace("{K}", str(SPAN_K)).replace(
+    "{TOP}", str(SPAN_TOP)
+)
+
+SAMPLE_K = 100  # weighted sample size
+_U_DENOM = float(16 ** 15)  # 60-bit md5 prefix -> uniform in (0,1)
+
+
+@declared(
+    "q160_weighted_sample",
+    f"""WITH w AS (
+         SELECT doc_id, GREATEST(n_chars, 1) AS wt,
+                (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 0.5)
+                  / {_U_DENOM!r} AS u
+         FROM documents),
+       keyed AS (
+         SELECT doc_id, CAST(wt AS BIGINT) AS wt,
+                ROUND(-ln(u) / wt, 9) AS es_key
+         FROM w)
+       SELECT doc_id, wt, es_key FROM keyed
+       ORDER BY es_key, doc_id LIMIT {SAMPLE_K}""",
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the data-
+    selection primitive that picks documents proportionally to a
+    quality/length weight (here n_chars) for a training mix. Algorithm
+    A-ES (Efraimidis & Spirakis 2006): each item draws uniform u and
+    gets key u^(1/w); the k largest keys are the sample, equivalently
+    the k SMALLEST of -ln(u)/w (the exponential-race form used here).
+
+    Reproducibility is the whole point: u derives from a portable
+    md5-prefix hash of doc_id (the q88 pattern — both engines convert
+    the same 60-bit integer, so the doubles are bit-identical), not an
+    RNG, so the sample is stable across engines, runs, and cluster
+    sizes. The key is ROUNDED to 9 decimals before ranking (the q155
+    discipline) so rank order can't hinge on sub-ulp ln() differences,
+    with doc_id as the total-order tiebreak.
+
+    Plan shape at 100 TB: scan -> per-row expressions -> TakeOrdered
+    top-k. No shuffle except the k-row final ordering; never a global
+    sort."""
+    d = T(spark, sf, "documents")
+    wt = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_U_DENOM)
+    keyed = d.select(
+        "doc_id",
+        wt.cast("bigint").alias("wt"),
+        F.round(-F.log(u) / wt, 9).alias("es_key"),
+    )
+    return keyed.orderBy("es_key", "doc_id").limit(SAMPLE_K)

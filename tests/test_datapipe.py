@@ -233,3 +233,54 @@ def test_cc_labels_served_from_cache_manager(spark, sf_dir):
     ).select("id_a", "id_b")
     fresh = {(r.id, r.cid) for r in _D.connected_components_star(pairs).collect()}
     assert first == fresh
+
+
+def test_repeated_spans_plan_and_short_docs(spark):
+    """q159: top-k via TakeOrdered (never a global sort), and the span
+    indexing contract — sub-K-token docs contribute their whole text as
+    one span, empty/NULL text contributes nothing."""
+    from iceberg_cache_spark.plans import QUERIES
+
+    import os
+    import tempfile
+
+    rows = [
+        (1, "alpha beta gamma"),            # 3 tokens -> one short span
+        (2, "alpha beta gamma"),            # exact dup -> df=2
+        (3, ""),                            # no spans
+        (4, None),                          # no spans
+        (5, "one two three four five six"), # 6 tokens -> 2 spans, df=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "length(text) AS n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="spans_")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = QUERIES["q159_repeated_spans"](spark, tmp)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Sort [" not in plan
+    got = [(r.span, r.n_docs, r.n_occ) for r in out.collect()]
+    assert got == [("alpha beta gamma", 2, 2)]
+
+
+def test_weighted_sample_no_shuffle_and_bias(spark, sf_dir):
+    """q160: scan -> expressions -> TakeOrdered, ZERO exchanges; and the
+    A-ES keys actually bias selection toward heavy documents (sampled
+    mean weight exceeds the corpus mean)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_cache_spark.plans import QUERIES
+    from iceberg_cache_spark.sources.testdata import load_table as T
+
+    out = QUERIES["q160_weighted_sample"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    sample_mean = out.agg(F.avg("wt")).collect()[0][0]
+    corpus_mean = (
+        T(spark, sf_dir, "documents")
+        .agg(F.avg(F.greatest(F.col("n_chars"), F.lit(1))))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
