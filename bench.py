@@ -69,17 +69,14 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def settle(spark) -> None:
-    """Settle the session between measurements: drop cached blocks,
-    clear broadcast/codegen garbage, force a full GC so the next query
-    is measured against a quiet heap, not the previous query's debris.
-
-    Also clears the derived-intermediate cache (plans/shared.py):
-    suite medians measure each query's PLAN cost, comparable across
-    rounds — the cache win is measured separately and deliberately by
-    the --cache-reuse child, where q158 runs against the labels q148
-    admitted."""
-    spark.catalog.clearCache()
+def _clear_derived_cache() -> None:
+    """Empty the derived-intermediate cache (plans/shared.py) so the
+    NEXT execution pays its full plan cost. Suite medians measure PLAN
+    cost, comparable across rounds — the cache win is measured
+    separately and deliberately by the --cache-reuse child, where q158
+    runs against the labels q148 admitted. Cleared between SAMPLES
+    (not just between queries): otherwise q148's runs 2-3 are cache
+    hits and the median lands on the hit path."""
     try:
         from iceberg_cache_spark.plans.shared import _MANAGERS
 
@@ -87,6 +84,14 @@ def settle(spark) -> None:
             m.clear()
     except Exception:
         pass
+
+
+def settle(spark) -> None:
+    """Settle the session between measurements: drop cached blocks,
+    clear broadcast/codegen garbage, force a full GC so the next query
+    is measured against a quiet heap, not the previous query's debris."""
+    spark.catalog.clearCache()
+    _clear_derived_cache()
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:
@@ -116,6 +121,7 @@ def _build_session():
 def _measure(spark, fn, sf_dir: str, runs: int) -> list[float]:
     samples = []
     for _ in range(runs):
+        _clear_derived_cache()  # every sample pays full plan cost
         t0 = time.perf_counter()
         run_query(fn(spark, sf_dir))
         samples.append(time.perf_counter() - t0)

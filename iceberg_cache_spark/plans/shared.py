@@ -75,4 +75,9 @@ def ngram_cc_labels(spark: SparkSession, sf: str) -> DataFrame:
         ).select("id_a", "id_b")
         return _D.connected_components_star(pairs)
 
-    return corpus_cache(spark).get_or_load(key, loader)
+    # materialize=False: the first consumer's own action fills the
+    # persisted blocks (every declared consumer reads all partitions),
+    # so admission costs no extra pass; the entry keeps the optimizer
+    # size estimate, which is fine for small label frames under the
+    # 2 GiB derived budget.
+    return corpus_cache(spark).get_or_load(key, loader, materialize=False)
