@@ -658,3 +658,158 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
         F.round(-F.log(u) / wt, 9).alias("es_key"),
     )
     return keyed.orderBy("es_key", "doc_id").limit(SAMPLE_K)
+
+
+MIX_BUDGET = 200  # total docs in the mixture sample
+_W_SCALE = 1_000_000  # sqrt weights fixed-point scaled to exact integers
+
+
+@declared(
+    "q161_mixture_sample",
+    f"""WITH counts AS (
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+         FROM documents GROUP BY source),
+       w AS (SELECT source, n_s,
+                    CAST(ROUND(sqrt(n_s) * {_W_SCALE}, 0) AS BIGINT) AS ws
+             FROM counts),
+       tot AS (SELECT SUM(ws) AS tw FROM w),
+       tgt AS (SELECT source, n_s,
+                      CAST(({MIX_BUDGET} * ws) // tw AS BIGINT) AS target
+               FROM w CROSS JOIN tot),
+       ranked AS (
+         SELECT d.doc_id, d.source,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY d.source
+                  ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS BIGINT) AS rnk
+         FROM documents d)
+       SELECT r.source, r.doc_id, r.rnk, t.target
+       FROM ranked r JOIN tgt t USING (source)
+       WHERE r.rnk <= t.target
+       ORDER BY r.source, r.rnk""",
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled mixture sampling — the data-mixing step that
+    keeps a multi-source corpus from being dominated by its largest
+    source (the alpha=0.5 temperature of multilingual/UniMax-style
+    mixing): per-source budget proportional to sqrt(n_source), then a
+    deterministic per-source draw.
+
+    Every arithmetic step is engine-exact by construction: sqrt is
+    IEEE-correctly-rounded (bit-identical in any engine, unlike pow),
+    weights become fixed-point BIGINTs, the budget split is pure
+    integer floor division, and the draw orders by a portable
+    md5-of-id hash — so the SAME sample comes out of Spark, DuckDB, or
+    a 1000-executor cluster. Plan shape at 100 TB: a tiny per-source
+    aggregate broadcast back, one window rank per source partition,
+    and the filter prunes to the budget; one shuffle on source."""
+    d = T(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_s"))
+    w = counts.withColumn(
+        "ws", F.round(F.sqrt(F.col("n_s")) * _W_SCALE, 0).cast("bigint")
+    )
+    tot = w.agg(F.sum("ws").alias("tw"))
+    tgt = w.join(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"CAST(({MIX_BUDGET} * ws) DIV tw AS BIGINT)").alias("target"),
+    )
+    rnk_w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(rnk_w).cast("bigint").alias("rnk")
+    )
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .filter(F.col("rnk") <= F.col("target"))
+        .select("source", "doc_id", "rnk", "target")
+        .orderBy("source", "rnk")
+    )
+
+
+CLIP_LO = 0.05
+CLIP_HI = 0.95
+
+
+@declared(
+    "q162_percentile_clip",
+    f"""WITH ranked AS (
+         SELECT lang, doc_id, n_chars,
+                ROW_NUMBER() OVER w AS rn,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+         FROM documents
+         WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+       bounds AS (
+         SELECT lang,
+                MIN(CASE WHEN rn = GREATEST(CAST(ceil({CLIP_LO} * n) AS BIGINT), 1)
+                         THEN n_chars END) AS lo,
+                MIN(CASE WHEN rn = GREATEST(CAST(ceil({CLIP_HI} * n) AS BIGINT), 1)
+                         THEN n_chars END) AS hi
+         FROM ranked GROUP BY lang)
+       SELECT d.lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              b.lo, b.hi,
+              CAST(COUNT(*) FILTER (d.n_chars < b.lo) AS BIGINT) AS n_below,
+              CAST(COUNT(*) FILTER (d.n_chars > b.hi) AS BIGINT) AS n_above,
+              CAST(COUNT(*) FILTER (d.n_chars BETWEEN b.lo AND b.hi)
+                   AS BIGINT) AS n_kept
+       FROM documents d JOIN bounds b
+         ON b.lang IS NOT DISTINCT FROM d.lang
+       GROUP BY d.lang, b.lo, b.hi ORDER BY d.lang""",
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile-clipped outlier filtering — the winsorizing pass that
+    drops per-language length outliers (too-short fragments, too-long
+    concatenation artifacts) before training. Bounds are DISCRETE
+    quantiles (the value at row ceil(p*n) of the (n_chars, doc_id)
+    order), computed with a window rank rather than an interpolating
+    percentile aggregate: discrete selection is integer-exact and
+    engine-portable, where interpolation formulas can differ in their
+    last ulp. Both engines evaluate the identical ceil(p*n) double
+    expression, so even the float boundary lands identically.
+
+    Plan shape at 100 TB: one window pass partitioned by lang feeds a
+    per-lang bounds aggregate that BROADCASTS back over the corpus
+    scan; the per-doc clip test is a broadcast join + filter, never a
+    second shuffle. NULL lang is its own group (null-safe join)."""
+    d = T(spark, sf, "documents")
+    wr = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = W.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    def at(p):
+        idx = F.greatest(F.ceil(F.lit(p) * F.col("n")).cast("bigint"), F.lit(1))
+        return F.min(F.when(F.col("rn") == idx, F.col("n_chars")))
+    bounds = ranked.groupBy("lang").agg(
+        at(CLIP_LO).alias("lo"), at(CLIP_HI).alias("hi")
+    )
+    joined = d.join(
+        F.broadcast(bounds.withColumnRenamed("lang", "_blang")),
+        F.col("lang").eqNullSafe(F.col("_blang")),
+    )
+    return (
+        joined.groupBy("lang", "lo", "hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("n_chars") < F.col("lo"), 1))
+            .cast("bigint")
+            .alias("n_below"),
+            F.count(F.when(F.col("n_chars") > F.col("hi"), 1))
+            .cast("bigint")
+            .alias("n_above"),
+            F.count(
+                F.when(
+                    (F.col("n_chars") >= F.col("lo"))
+                    & (F.col("n_chars") <= F.col("hi")),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select("lang", "n_docs", "lo", "hi", "n_below", "n_above", "n_kept")
+        .orderBy("lang")
+    )

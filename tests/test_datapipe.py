@@ -284,3 +284,61 @@ def test_weighted_sample_no_shuffle_and_bias(spark, sf_dir):
         .collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_mixture_sample_sqrt_proportional(spark, sf_dir):
+    """q161: per-source selected counts hit the integer sqrt-budget
+    exactly, the draw is deterministic, and no source exceeds its
+    target; plan has no sort-merge join or cartesian product."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from iceberg_cache_spark.plans import QUERIES
+    from iceberg_cache_spark.plans.datapipe import MIX_BUDGET, _W_SCALE
+    from iceberg_cache_spark.sources.testdata import load_table as T
+
+    out = QUERIES["q161_mixture_sample"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    got = {
+        r.source: r.cnt
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    counts = {
+        r.source: r.n
+        for r in T(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    ws = {s: round(math.sqrt(n) * _W_SCALE) for s, n in counts.items()}
+    tw = sum(ws.values())
+    expect = {s: (MIX_BUDGET * w) // tw for s, w in ws.items()}
+    assert got == {s: t for s, t in expect.items() if t > 0}
+    # deterministic: a second run selects the identical doc set
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in QUERIES["q161_mixture_sample"](spark, sf_dir).collect()}
+    assert ids1 == ids2
+
+
+def test_percentile_clip_controlled_fixture(spark):
+    """q162: on 20 docs of one lang with n_chars 1..20, the discrete
+    p5/p95 bounds are the values at rank ceil(.05*20)=1 and
+    ceil(.95*20)=19 -> lo=1, hi=19, one doc clipped above."""
+    import os
+    import tempfile
+
+    from iceberg_cache_spark.plans import QUERIES
+
+    rows = [(i, "x" * i, "en", "s", i) for i in range(1, 21)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    tmp = tempfile.mkdtemp(prefix="clip_")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    got = QUERIES["q162_percentile_clip"](spark, tmp).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.lang, r.n_docs, r.lo, r.hi) == ("en", 20, 1, 19)
+    assert (r.n_below, r.n_above, r.n_kept) == (0, 1, 19)
