@@ -791,7 +791,14 @@ def connected_components_star(
     # extracts the labels (a stable non-star fixpoint or a fingerprint
     # hash collision would otherwise return silently wrong labels, the
     # failure mode the min-label path guards against loudly).
-    return _star_labels_checked(e)
+    labels = _star_labels_checked(e)
+    # the violation collect inside the checked pass has materialized the
+    # grouped labels (checkpoint-backed, self-contained) — the final
+    # round's edge blocks are no longer referenced; release them so a
+    # long-lived session doesn't accumulate one edge-set per CC call
+    # (r6 advice item 3, final-round leg).
+    unmaterialize(e)
+    return labels
 
 
 def _star_labels_checked(e: DataFrame) -> DataFrame:

@@ -662,6 +662,13 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
 
 MIX_BUDGET = 200  # total docs in the mixture sample
 _W_SCALE = 1_000_000  # sqrt weights fixed-point scaled to exact integers
+# Fan-out for q161's salted two-phase per-source top-k. Phase 1 ranks
+# within (source, salt) so a 100 TB single-source corpus still spreads
+# over SALT_BUCKETS tasks; survivors are <= SALT_BUCKETS * MIX_BUDGET
+# rows per source, so the exact phase-2 rank is O(1)-sized regardless
+# of corpus scale. Sized to the local core count; on a real cluster
+# raise it toward executor-core count.
+SALT_BUCKETS = 32
 
 
 @declared(
@@ -699,9 +706,17 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
     weights become fixed-point BIGINTs, the budget split is pure
     integer floor division, and the draw orders by a portable
     md5-of-id hash — so the SAME sample comes out of Spark, DuckDB, or
-    a 1000-executor cluster. Plan shape at 100 TB: a tiny per-source
-    aggregate broadcast back, one window rank per source partition,
-    and the filter prunes to the budget; one shuffle on source."""
+    a 1000-executor cluster.
+
+    Plan shape at 100 TB — salted two-phase top-k, NOT a per-source
+    window over the corpus (source is low-cardinality: one window
+    partition per source routes the whole corpus through a handful of
+    tasks). Phase 1 ranks within (source, salt-of-doc_id) — every true
+    top-``target`` row has global rank <= target, hence per-salt rank
+    <= target, so filtering per-salt rank keeps a superset. Phase 2
+    re-ranks the survivors (<= SALT_BUCKETS * target rows per source —
+    constant-bounded, independent of corpus size) for the exact global
+    rank. Heavy shuffle is salted; the exact pass is O(sources * k)."""
     d = T(spark, sf, "documents")
     counts = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_s"))
     w = counts.withColumn(
@@ -712,14 +727,18 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         F.expr(f"CAST(({MIX_BUDGET} * ws) DIV tw AS BIGINT)").alias("target"),
     )
-    rnk_w = W.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    hk = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(SALT_BUCKETS))
+    local_w = W.partitionBy("source", "_salt").orderBy("_hk", "doc_id")
+    cand = (
+        d.select("doc_id", "source", hk.alias("_hk"), salt.alias("_salt"))
+        .withColumn("_lrnk", F.row_number().over(local_w))
+        .join(F.broadcast(tgt), "source")
+        .filter(F.col("_lrnk") <= F.col("target"))
     )
-    ranked = d.select(
-        "doc_id", "source", F.row_number().over(rnk_w).cast("bigint").alias("rnk")
-    )
+    exact_w = W.partitionBy("source").orderBy("_hk", "doc_id")
     return (
-        ranked.join(F.broadcast(tgt), "source")
+        cand.withColumn("rnk", F.row_number().over(exact_w).cast("bigint"))
         .filter(F.col("rnk") <= F.col("target"))
         .select("source", "doc_id", "rnk", "target")
         .orderBy("source", "rnk")
@@ -767,23 +786,37 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
     last ulp. Both engines evaluate the identical ceil(p*n) double
     expression, so even the float boundary lands identically.
 
-    Plan shape at 100 TB: one window pass partitioned by lang feeds a
-    per-lang bounds aggregate that BROADCASTS back over the corpus
-    scan; the per-doc clip test is a broadcast join + filter, never a
-    second shuffle. NULL lang is its own group (null-safe join)."""
+    Plan shape at 100 TB: the discrete rank-idx value depends only on
+    per-(lang, n_chars) COUNTS, so the bounds come from a map-side-
+    combinable hash aggregate + a cumulative sum over DISTINCT length
+    values (bounded by the value domain, not the row count) — never a
+    per-row window partitioned by low-cardinality lang (which would
+    route the whole corpus through one task per language). The value
+    at rank idx in (n_chars ASC NULLS LAST, doc_id) order is the
+    smallest n_chars whose running count reaches idx — the doc_id
+    tiebreak can only permute rows WITHIN an equal-n_chars run, never
+    change the value at the rank. The per-doc clip test is a broadcast
+    join + filter, never a second shuffle. NULL lang is its own group
+    (null-safe join); NULL n_chars sorts last on both engines by
+    construction, so a boundary landing in the NULL run yields NULL
+    bounds identically."""
     d = T(spark, sf, "documents")
-    wr = W.partitionBy("lang").orderBy("n_chars", "doc_id")
-    wn = W.partitionBy("lang")
-    ranked = d.select(
+    counts = d.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    w_cum = (
+        W.partitionBy("lang")
+        .orderBy(F.col("n_chars").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = counts.select(
         "lang",
         "n_chars",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(W.partitionBy("lang")).alias("n"),
     )
     def at(p):
         idx = F.greatest(F.ceil(F.lit(p) * F.col("n")).cast("bigint"), F.lit(1))
-        return F.min(F.when(F.col("rn") == idx, F.col("n_chars")))
-    bounds = ranked.groupBy("lang").agg(
+        return F.min(F.when(F.col("cum") >= idx, F.col("n_chars")))
+    bounds = cum.groupBy("lang").agg(
         at(CLIP_LO).alias("lo"), at(CLIP_HI).alias("hi")
     )
     joined = d.join(
