@@ -846,3 +846,224 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
         .select("lang", "n_docs", "lo", "hi", "n_below", "n_above", "n_kept")
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q163–q165: corpus-statistics quality tier — unigram LM scoring,
+# PMI collocations, and per-document vocabulary novelty. All three are
+# pure hash-aggregate/join pipelines over the exploded token stream
+# (no corpus-wide low-cardinality windows, no Python in the hot path);
+# float determinism follows the q155 precedent: ln() lands on a 1e-6
+# fixed-point grid (ROUND then BIGINT) before any aggregation or
+# ranking, so cross-engine sub-ulp libm drift cannot reorder results.
+# ref parity: the reference has no corpus-statistics tier; these are
+# training-pipeline additions per the build brief (CCNet-style LM
+# quality filtering, collocation mining, vocabulary-growth telemetry).
+# ---------------------------------------------------------------------------
+
+LM_THRESH_E6 = -3_700_000  # keep docs with mean token ln-prob >= -3.7
+
+
+@declared(
+    "q163_unigram_logprob",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       freq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS f FROM tok GROUP BY tok),
+       n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+       term AS (
+         SELECT doc_id,
+                CAST(ROUND(ln(f / n) * 1000000) AS BIGINT) AS lp_e6
+         FROM tok JOIN freq USING (tok) CROSS JOIN n)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_toks,
+              CAST(SUM(lp_e6) AS BIGINT) AS sum_logprob_e6,
+              SUM(lp_e6) >= COUNT(*) * {LM_THRESH_E6} AS kept
+       FROM term GROUP BY doc_id ORDER BY doc_id""",
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model scoring (CCNet-style quality filter):
+    score each document by the sum of ln p(token) under the corpus's
+    own unigram distribution and keep documents whose MEAN token
+    log-probability clears a threshold — the cheap first-pass proxy
+    for "looks like natural language" that LM-perplexity filtering
+    refines. ln lands on a 1e-6 fixed-point grid per TERM (BIGINT),
+    so the per-doc SUM is exact integer arithmetic — order-independent
+    on any partitioning — and the keep test is the integer comparison
+    sum >= n * thresh (no float division anywhere).
+
+    Plan shape at 100 TB: one exploded-token scan feeds a map-side-
+    combinable vocabulary aggregate; scoring joins the stream back to
+    the vocabulary on the high-cardinality token key; the 1-row corpus
+    total broadcasts; the per-doc rollup shuffles on doc_id. No
+    windows, no skew pivots."""
+    d = T(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(_text_tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").cast("double").alias("f"))
+    n = tok.agg(F.count("*").cast("double").alias("n"))
+    term = (
+        tok.join(freq, "tok")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("f") / F.col("n")) * 1_000_000)
+            .cast("bigint")
+            .alias("lp_e6"),
+        )
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum("lp_e6").cast("bigint").alias("sum_logprob_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "sum_logprob_e6",
+            (
+                F.col("sum_logprob_e6")
+                >= F.col("n_toks") * F.lit(LM_THRESH_E6)
+            ).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PMI_MIN_COUNT = 5  # bigram support floor
+PMI_TOP = 30
+
+
+@declared(
+    "q164_pmi_collocations",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+         ),
+       big AS (
+         SELECT unnest(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])) AS bg
+         FROM toks WHERE len(t) >= 2),
+       bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab
+              FROM big GROUP BY bg),
+       tok AS (SELECT unnest(t) AS tok FROM toks),
+       uc AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY tok),
+       tot AS (SELECT CAST((SELECT COUNT(*) FROM big) AS DOUBLE) AS b,
+                      CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) AS u),
+       scored AS (
+         SELECT string_split(bg, ' ')[1] AS w1,
+                string_split(bg, ' ')[2] AS w2,
+                c_ab,
+                CAST(ROUND(ln((c_ab / b) / ((ca.c / u) * (cb.c / u)))
+                           * 1000000) AS BIGINT) AS pmi_e6
+         FROM bc CROSS JOIN tot
+         JOIN uc ca ON ca.tok = string_split(bg, ' ')[1]
+         JOIN uc cb ON cb.tok = string_split(bg, ' ')[2]
+         WHERE c_ab >= {PMI_MIN_COUNT})
+       SELECT w1, w2, c_ab, pmi_e6 FROM scored
+       ORDER BY pmi_e6 DESC, w1, w2 LIMIT {PMI_TOP}""",
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation mining: the top adjacent word pairs by pointwise
+    mutual information ln( p(ab) / (p(a) p(b)) ) with a support floor —
+    the classic phrase-discovery pass (word2vec-phrases, NPMI corpus
+    analysis) a tokenizer-training pipeline runs before merging multi-
+    word units. PMI lands on the 1e-6 fixed-point grid BEFORE ranking
+    (ties then break on the words), so cross-engine ln drift cannot
+    permute the leaderboard.
+
+    Plan shape at 100 TB: bigrams come from an array transform inside
+    the token scan (no self-join on position); counts are map-side-
+    combinable hash aggregates on high-cardinality keys; the two
+    unigram lookups are token-keyed shuffles; the 1-row totals
+    broadcast; the final top-30 is a TakeOrdered, never a full sort."""
+    d = T(spark, sf, "documents")
+    toks = d.select(_text_tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("bg")
+    )
+    bc = big.groupBy("bg").agg(F.count("*").cast("bigint").alias("c_ab"))
+    tok = d.select(F.explode(_text_tokens(F.col("text"))).alias("tok"))
+    uc = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    tot = big.agg(F.count("*").cast("double").alias("b")).join(
+        tok.agg(F.count("*").cast("double").alias("u"))
+    )
+    split = F.split(F.col("bg"), " ")
+    scored = (
+        bc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .select(
+            split.getItem(0).alias("w1"),
+            split.getItem(1).alias("w2"),
+            "c_ab",
+        )
+        .join(F.broadcast(tot))
+        .join(uc.withColumnRenamed("tok", "w1").withColumnRenamed("c", "ca"), "w1")
+        .join(uc.withColumnRenamed("tok", "w2").withColumnRenamed("c", "cb"), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("b"))
+                    / ((F.col("ca") / F.col("u")) * (F.col("cb") / F.col("u")))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("pmi_e6"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_e6").desc(), "w1", "w2").limit(PMI_TOP)
+
+
+@declared(
+    "q165_token_novelty",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       dt AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+       first_seen AS (SELECT tok, MIN(doc_id) AS first_doc FROM dt GROUP BY tok)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_terms,
+              CAST(COUNT(*) FILTER (first_doc = doc_id) AS BIGINT) AS n_novel,
+              CAST((COUNT(*) FILTER (first_doc = doc_id)) * 1000000
+                   // COUNT(*) AS BIGINT) AS novelty_e6
+       FROM dt JOIN first_seen USING (tok)
+       GROUP BY doc_id ORDER BY doc_id""",
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document vocabulary novelty: the fraction of a document's
+    DISTINCT terms that first appear (in doc_id order) in that
+    document — the vocabulary-growth telemetry a curation pipeline
+    tracks to see when additional data stops contributing new types
+    (Heaps-law saturation) and to rank documents for coverage-greedy
+    selection. Pure integer arithmetic end-to-end: counts, a MIN
+    aggregate, and a fixed-point floor division (both engines floor
+    non-negative integer division identically).
+
+    Plan shape at 100 TB: distinct (doc, term) pairs via hash
+    aggregate, the first-seen table is a token-keyed MIN aggregate
+    joined back on the same high-cardinality key, then a doc-keyed
+    rollup — three shuffles, all on high-cardinality keys, no windows."""
+    d = T(spark, sf, "documents")
+    dt = d.select(
+        "doc_id", F.explode(_text_tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    first_seen = dt.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return (
+        dt.join(first_seen, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            novel.cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST(count(CASE WHEN first_doc = doc_id THEN 1 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("novelty_e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -342,3 +342,60 @@ def test_percentile_clip_controlled_fixture(spark):
     r = got[0]
     assert (r.lang, r.n_docs, r.lo, r.hi) == ("en", 20, 1, 19)
     assert (r.n_below, r.n_above, r.n_kept) == (0, 1, 19)
+
+
+def _write_docs(spark, rows):
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    tmp = tempfile.mkdtemp(prefix="corpstat_")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    return tmp
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """q163 on 2 docs ('a a', 'a b'): freq a=3, b=1, N=4 ->
+    lp(a)=round(ln(3/4)*1e6)=-287682, lp(b)=round(ln(1/4)*1e6)=-1386294;
+    exact integer sums, kept = mean lp >= -3.7."""
+    import math
+
+    tmp = _write_docs(spark, [(1, "a a", "en", "s", 3), (2, "a b", "en", "s", 3)])
+    got = {r.doc_id: r for r in QUERIES["q163_unigram_logprob"](spark, tmp).collect()}
+    lp_a = round(math.log(3 / 4) * 1e6)
+    lp_b = round(math.log(1 / 4) * 1e6)
+    assert (got[1].n_toks, got[1].sum_logprob_e6) == (2, 2 * lp_a)
+    assert (got[2].n_toks, got[2].sum_logprob_e6) == (2, lp_a + lp_b)
+    assert got[1].kept and got[2].kept
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """q164: 'x y' adjacent in 5 docs amid filler picks (x, y) with
+    c_ab=5 and pmi = ln((5/B)/((5/U)*(5/U))) on the e6 grid; the
+    support floor drops every filler bigram."""
+    import math
+
+    from iceberg_cache_spark.plans.datapipe import PMI_MIN_COUNT
+
+    rows = [(i, f"x y f{i} g{i}", "en", "s", 10) for i in range(1, 6)]
+    tmp = _write_docs(spark, rows)
+    got = QUERIES["q164_pmi_collocations"](spark, tmp).collect()
+    assert len(got) == 1 and PMI_MIN_COUNT == 5
+    r = got[0]
+    bigrams = 5 * 3  # 4 tokens per doc -> 3 bigrams, 5 docs
+    unigrams = 5 * 4
+    pmi = round(math.log((5 / bigrams) / ((5 / unigrams) * (5 / unigrams))) * 1e6)
+    assert (r.w1, r.w2, r.c_ab, r.pmi_e6) == ("x", "y", 5, pmi)
+
+
+def test_token_novelty_hand_computed(spark):
+    """q165 on 'a b' then 'b c': doc 1 coins both of its terms
+    (novelty 1.0), doc 2 coins only 'c' (novelty 0.5 -> 500000e-6)."""
+    tmp = _write_docs(spark, [(1, "a b", "en", "s", 3), (2, "b c", "en", "s", 3)])
+    got = {r.doc_id: r for r in QUERIES["q165_token_novelty"](spark, tmp).collect()}
+    assert (got[1].n_terms, got[1].n_novel, got[1].novelty_e6) == (2, 2, 1_000_000)
+    assert (got[2].n_terms, got[2].n_novel, got[2].novelty_e6) == (2, 1, 500_000)
