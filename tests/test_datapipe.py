@@ -399,3 +399,30 @@ def test_token_novelty_hand_computed(spark):
     got = {r.doc_id: r for r in QUERIES["q165_token_novelty"](spark, tmp).collect()}
     assert (got[1].n_terms, got[1].n_novel, got[1].novelty_e6) == (2, 2, 1_000_000)
     assert (got[2].n_terms, got[2].n_novel, got[2].novelty_e6) == (2, 1, 500_000)
+
+
+def test_mixture_sample_salted_plan_shape(spark, sf_dir):
+    """q161's heavy window must rank within (source, _salt) — the exact
+    per-source pass may only see the bounded survivor set. Guard: the
+    plan contains a window partitioned by the salt, and the exact
+    window sits above a Filter on the salted rank."""
+    out = QUERIES["q161_mixture_sample"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # salted phase present
+    # both windows exist: salted (source, _salt) and exact (source)
+    assert plan.count("row_number()") >= 2
+
+
+def test_percentile_clip_no_corpus_window(spark, sf_dir):
+    """q162's windows may only run over DISTINCT (lang, n_chars) value
+    rows, never the corpus: every Window in the plan must sit above the
+    counts HashAggregate, i.e. no window's child scans documents
+    directly. Cheap proxy: the pre-window aggregate keys on n_chars."""
+    out = QUERIES["q162_percentile_clip"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    win_children = plan.split("Window")[1:]
+    assert win_children, "expected window operators"
+    # the cumulative-sum window's input is the (lang, n_chars) count agg
+    assert re.search(r"Window.*\n(.|\n)*?HashAggregate.*n_chars", plan)
