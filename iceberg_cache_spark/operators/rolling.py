@@ -143,3 +143,180 @@ def rolling_time_agg(
         cnt.alias(cnt_out),
         F.when(nn_cnt > 0, val).alias(sum_out),
     )
+
+
+def rolling_time_agg_chunked(
+    events: DataFrame,
+    width_us: int,
+    bucket_us: int,
+    part_col: str = "user_id",
+    id_col: str = "event_id",
+    us_col: str = "us",
+    val_col: str = "dv",
+    cnt_out: str = "n_roll",
+    sum_out: str = "sum_roll",
+) -> DataFrame:
+    """Skew-resilient variant of :func:`rolling_time_agg` — identical
+    output contract, but the cumulative windows run per
+    ``(part, time-bucket)`` instead of per ``part``, so ONE hot key
+    (one user holding most of a 100 TB event stream — the Zipf regime
+    the skew gate manufactures) parallelizes across time buckets
+    instead of serializing its entire history through a single task's
+    sort.
+
+    Exactness: each event lands in bucket ``us DIV bucket_us``; every
+    event in the LAST ``width_us`` of its bucket is replicated into the
+    next bucket as a zero-output context ("halo") row. With
+    ``bucket_us >= width_us`` the inclusive ``[us - width_us, us]``
+    frame of any row is fully contained in (own bucket ∪ halo), so the
+    per-bucket prefix difference equals the global one — bit-identical,
+    not approximate. Replication cost is bounded by
+    ``width_us / bucket_us`` of the corpus.
+
+    NULL ordering keys keep their SQL peer-group semantics via a
+    separate per-key aggregate over the NULL-ts rows (no bucket is
+    defined for them), joined back — same results as the prefix
+    formulation's NULLS-FIRST trick.
+
+    Trade-off vs the unchunked version: one extra small aggregate and
+    ~(w/B) row replication, in exchange for max-task work dropping from
+    O(hot-key rows) to O(hot-key rows per bucket). Prefer this when a
+    single key can dominate a partition; the unchunked form when keys
+    are plentiful."""
+    if bucket_us < width_us:
+        raise ValueError(
+            f"bucket_us={bucket_us} must be >= width_us={width_us}: the "
+            "halo only replicates one bucket back"
+        )
+    ev = events.select(part_col, id_col, us_col, val_col)
+    nn = ev.filter(F.col(us_col).isNotNull())
+    zero_v = F.lit(0).cast(ev.schema[val_col].dataType)
+
+    # exact FLOOR division (DIV truncates toward zero, which would
+    # misplace pre-epoch timestamps; pmod is non-negative, so this is
+    # integer floor for any sign — no double-precision detour)
+    bkt = F.expr(
+        f"(({us_col} - pmod({us_col}, {bucket_us})) DIV {bucket_us})"
+    )
+    own = nn.select(
+        part_col,
+        id_col,
+        us_col,
+        val_col,
+        bkt.alias("_b"),
+        F.lit(0).alias("_ctx"),
+    )
+    halo = nn.filter(
+        F.col(us_col) >= (bkt + 1) * F.lit(bucket_us) - F.lit(width_us)
+    ).select(
+        part_col,
+        id_col,
+        us_col,
+        val_col,
+        (bkt + 1).alias("_b"),
+        F.lit(1).alias("_ctx"),
+    )
+    rows = own.unionByName(halo)
+    real = rows.select(
+        part_col,
+        id_col,
+        "_b",
+        "_ctx",
+        F.col(us_col).alias("_t"),
+        F.lit(1).cast("long").alias("_c"),
+        F.when(F.col(val_col).isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_cn"),
+        F.col(val_col).alias("_v"),
+        F.lit(0).alias("_probe"),
+        F.col(us_col),
+    )
+    probe = own.select(
+        part_col,
+        id_col,
+        "_b",
+        F.lit(0).alias("_ctx"),
+        (F.col(us_col) - F.lit(width_us) - F.lit(1)).alias("_t"),
+        F.lit(0).cast("long").alias("_c"),
+        F.lit(0).cast("long").alias("_cn"),
+        zero_v.alias("_v"),
+        F.lit(1).alias("_probe"),
+        F.col(us_col),
+    )
+    u = real.unionByName(probe)
+    w = (
+        W.partitionBy(part_col, "_b")
+        .orderBy(F.col("_t").asc())
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    cum = u.select(
+        part_col,
+        id_col,
+        "_probe",
+        "_ctx",
+        F.col(us_col),
+        F.sum("_c").over(w).alias("_cum_c"),
+        F.sum("_cn").over(w).alias("_cum_cn"),
+        F.coalesce(F.sum("_v").over(w), zero_v).alias("_cum_v"),
+    )
+    at_event = cum.filter((F.col("_probe") == 0) & (F.col("_ctx") == 0)).select(
+        part_col,
+        id_col,
+        F.col(us_col),
+        F.col("_cum_c").alias("_c1"),
+        F.col("_cum_cn").alias("_cn1"),
+        F.col("_cum_v").alias("_v1"),
+    )
+    at_probe = cum.filter(F.col("_probe") == 1).select(
+        F.col(id_col).alias("_pid"),
+        F.col("_cum_c").alias("_c0"),
+        F.col("_cum_cn").alias("_cn0"),
+        F.col("_cum_v").alias("_v0"),
+    )
+    out_nn = at_event.join(
+        at_probe, at_event[id_col] == at_probe["_pid"]
+    ).select(
+        part_col,
+        id_col,
+        us_col,
+        (F.col("_c1") - F.col("_c0")).alias(cnt_out),
+        F.when(
+            (F.col("_cn1") - F.col("_cn0")) > 0, F.col("_v1") - F.col("_v0")
+        ).alias(sum_out),
+    )
+
+    # NULL ordering keys: SQL peer-group frame = all same-key NULL-ts
+    # rows. One tiny aggregate over the NULL slice, joined back.
+    nulls = ev.filter(F.col(us_col).isNull())
+    ngrp = nulls.groupBy(part_col).agg(
+        F.count("*").alias("_gn"),
+        F.sum(
+            F.when(F.col(val_col).isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_gnn"),
+        F.sum(val_col).alias("_gs"),
+    )
+    out_null = nulls.join(ngrp, part_col).select(
+        part_col,
+        id_col,
+        us_col,
+        F.col("_gn").alias(cnt_out),
+        F.when(F.col("_gnn") > 0, F.col("_gs")).alias(sum_out),
+    )
+    # align sum types before the union (window SUM and groupBy SUM both
+    # widen DECIMAL(p,s) the same way, but be explicit)
+    out_null = out_null.select(
+        part_col,
+        id_col,
+        us_col,
+        F.col(cnt_out).cast("long").alias(cnt_out),
+        F.col(sum_out).cast(dict(out_nn.dtypes)[sum_out]).alias(sum_out),
+    )
+    out_nn = out_nn.select(
+        part_col,
+        id_col,
+        us_col,
+        F.col(cnt_out).cast("long").alias(cnt_out),
+        F.col(sum_out),
+    )
+    return out_nn.unionByName(out_null)

@@ -136,9 +136,10 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@declared(
-    "q153_rolling_window",
-    f"""WITH ev AS (
+# one oracle text for both rolling-window plans (q153 unchunked,
+# q166 skew-chunked): the DECLARED semantics are identical, only the
+# physical decomposition differs.
+_ROLL_ORACLE = f"""WITH ev AS (
          SELECT event_id, user_id, epoch_us(ts) AS us,
                 CAST(value AS DECIMAL(18,2)) AS dv
          FROM events)
@@ -148,8 +149,10 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
        FROM ev
        WINDOW w AS (PARTITION BY user_id ORDER BY us
                     RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)
-       ORDER BY event_id""",
-)
+       ORDER BY event_id"""
+
+
+@declared("q153_rolling_window", _ROLL_ORACLE)
 def q153(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user 1-hour rolling event count + value sum over integer
     epoch-microseconds, DECIMAL-exact. Computed by prefix sums over a
@@ -173,6 +176,44 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
         F.col("value").cast("decimal(18,2)").alias("dv"),
     )
     r = rolling_time_agg(ev, ROLL_US, cnt_out="n_1h", sum_out="sum_1h")
+    return r.select(
+        "event_id",
+        "user_id",
+        F.col("n_1h").cast("bigint").alias("n_1h"),
+        F.col("sum_1h").cast("decimal(38,2)").alias("sum_1h"),
+    ).orderBy("event_id")
+
+
+# bucket width for the chunked rolling plan: 4 frame-widths balances
+# halo replication (w/B = 25% extra rows) against per-bucket task size
+ROLL_BUCKET_US = 4 * ROLL_US
+
+
+@declared("q166_rolling_window_chunked", _ROLL_ORACLE)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME per-user 1-hour rolling metrics as q153, computed by
+    the skew-resilient chunked plan (``rolling_time_agg_chunked``):
+    prefix sums per (user, 4-hour bucket) with a one-frame-width halo
+    replicated into the next bucket, so the windows' max task holds
+    one hot user's BUCKET, not the user's entire history. On uniform
+    keys this costs ~25% row replication over q153's plan; under the
+    skew gate's regime (one user = 86% of a 100 TB stream) it is the
+    difference between a parallel plan and one straggler task sorting
+    86 TB. Declared oracle is literally q153's — exactness of the
+    decomposition is part of the contract (bit-identical DECIMAL
+    sums, SQL NULL-peer-group frames for NULL ts)."""
+    from iceberg_cache_spark.operators.rolling import rolling_time_agg_chunked
+
+    e = T(spark, sf, "events")
+    ev = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("dv"),
+    )
+    r = rolling_time_agg_chunked(
+        ev, ROLL_US, ROLL_BUCKET_US, cnt_out="n_1h", sum_out="sum_1h"
+    )
     return r.select(
         "event_id",
         "user_id",

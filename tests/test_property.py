@@ -285,6 +285,84 @@ def test_rolling_time_agg_matches_naive_random(spark, seed, width):
     assert got == naive
 
 
+# -- chunked rolling aggregate: bit-identical to the unchunked plan --------
+#
+# The skew-resilient (user, time-bucket)+halo decomposition
+# (rolling_time_agg_chunked) must agree exactly with rolling_time_agg
+# on random corpora — including NULL timestamps (peer-group frames),
+# NULL values, events landing exactly ON bucket boundaries, and bucket
+# widths at the legality floor (bucket_us == width_us).
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    width=st.sampled_from([1, 40, 120]),
+    bucket_mult=st.sampled_from([1, 2, 4]),
+)
+def test_rolling_chunked_matches_unchunked_random(spark, seed, width, bucket_mult):
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_cache_spark.operators.rolling import (
+        rolling_time_agg,
+        rolling_time_agg_chunked,
+    )
+
+    rng = _random.Random(seed)
+    bucket = width * bucket_mult
+    rows = []
+    for i in range(rng.randint(1, 60)):
+        if rng.random() < 0.1:
+            ts = None  # NULL ordering keys: peer-group frames
+        elif rng.random() < 0.2:
+            ts = bucket * rng.randint(0, 4)  # exactly on a boundary
+        else:
+            ts = rng.randint(0, 300)
+        rows.append(
+            (
+                i,
+                rng.randint(0, 2),
+                ts,
+                None if rng.random() < 0.25 else round(rng.uniform(-50, 50), 2),
+            )
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, us bigint, v double"
+    ).select(
+        "event_id", "user_id", "us",
+        F.col("v").cast("decimal(18,2)").alias("dv"),
+    )
+    base = {
+        r.event_id: (r.n, None if r.s is None else float(r.s))
+        for r in rolling_time_agg(ev, width, cnt_out="n", sum_out="s").collect()
+    }
+    chunked = {
+        r.event_id: (r.n, None if r.s is None else float(r.s))
+        for r in rolling_time_agg_chunked(
+            ev, width, bucket, cnt_out="n", sum_out="s"
+        ).collect()
+    }
+    assert chunked == base
+
+
+def test_rolling_chunked_rejects_narrow_buckets(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from iceberg_cache_spark.operators.rolling import rolling_time_agg_chunked
+
+    ev = spark.createDataFrame(
+        [(1, 1, 10, 1.0)], "event_id bigint, user_id bigint, us bigint, v double"
+    ).select(
+        "event_id", "user_id", "us", F.col("v").cast("decimal(18,2)").alias("dv")
+    )
+    with _pytest.raises(ValueError):
+        rolling_time_agg_chunked(ev, width_us=100, bucket_us=99)
+
+
 # -- connected components: star vs min-label vs a driver union-find --------
 #
 # Random graphs (including disconnected nodes, chains, dense blobs):
