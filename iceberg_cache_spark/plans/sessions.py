@@ -69,9 +69,9 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@declared(
-    "q152_sessionization",
-    f"""WITH ev AS (
+# one oracle text for both sessionization plans (q152 single-window,
+# q167 skew-chunked): declared semantics identical, physical plan differs.
+_SESS_ORACLE = f"""WITH ev AS (
          SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
        gaps AS (
          SELECT user_id, event_id, us,
@@ -92,8 +92,10 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
               MIN(us) AS start_us, MAX(us) AS end_us,
               MAX(us) - MIN(us) AS duration_us
        FROM sess GROUP BY user_id, session_id
-       ORDER BY user_id, session_id""",
-)
+       ORDER BY user_id, session_id"""
+
+
+@declared("q152_sessionization", _SESS_ORACLE)
 def q152(spark: SparkSession, sf: str) -> DataFrame:
     """Gap sessionization: a session breaks after 30 min of user
     inactivity. lag -> boundary flag -> running sum = session id ->
@@ -406,3 +408,41 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# bucket width for the chunked sessionization plan: 8 gap-widths (4 h)
+# bounds every local-phase task; ANY positive bucket is exact here
+SESS_BUCKET_US = 8 * SESSION_GAP_US
+
+
+@declared("q167_sessionization_chunked", _SESS_ORACLE)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME gap sessionization as q152, computed by the
+    skew-resilient two-phase plan (``operators/sessionize.py``):
+    per-(user, 4h-bucket) local sessions aggregated immediately, then a
+    per-user merge over BUCKET SUMMARIES (one row per non-empty bucket)
+    that stitches boundary-spanning sessions and renumbers globally —
+    an exclusive prefix sum of ``local_sessions - merged``. Max task
+    drops from one hot user's entire history to one bucket of it; the
+    chain semantics (each event's session depends on its predecessor)
+    survive exactly because only the boundary PAIR matters across
+    buckets. Declared oracle is literally q152's — numbering and
+    aggregates are bit-identical, including NULL-time events as their
+    own trailing sessions."""
+    from iceberg_cache_spark.operators.sessionize import sessionize_chunked
+
+    e = T(spark, sf, "events")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    s = sessionize_chunked(ev, SESSION_GAP_US, SESS_BUCKET_US)
+    return s.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+    ).orderBy("user_id", "session_id")

@@ -363,6 +363,84 @@ def test_rolling_chunked_rejects_narrow_buckets(spark):
         rolling_time_agg_chunked(ev, width_us=100, bucket_us=99)
 
 
+# -- chunked sessionization: bit-identical to the single-window plan -------
+#
+# sessionize_chunked's two-phase (local sessions per bucket, bucket-
+# summary merge) must reproduce the lag+running-sum sessionization
+# exactly on random corpora: NULL timestamps (own trailing sessions),
+# sessions spanning 2 and 3+ buckets, boundary-exact events, and
+# buckets smaller than the gap (legal here, unlike the rolling halo).
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    gap=st.sampled_from([5, 30]),
+    bucket=st.sampled_from([7, 40, 200]),
+)
+def test_sessionize_chunked_matches_single_window_random(spark, seed, gap, bucket):
+    import random as _random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from iceberg_cache_spark.operators.sessionize import sessionize_chunked
+
+    rng = _random.Random(seed)
+    rows = []
+    t = 0
+    for i in range(rng.randint(1, 80)):
+        if rng.random() < 0.1:
+            ts = None
+        else:
+            # mostly small steps (sessions span buckets), occasional
+            # long jumps (gap breaks), some boundary-exact landings
+            t += rng.choice([1, 2, 3, gap, gap + 1, bucket, 2 * bucket + gap])
+            ts = t - (t % bucket) if rng.random() < 0.2 else t
+        rows.append((i, rng.randint(0, 2), ts))
+    ev = spark.createDataFrame(rows, "event_id bigint, user_id bigint, us bigint")
+
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in sessionize_chunked(ev, gap, bucket).collect()
+    }
+    w = W.partitionBy("user_id").orderBy(F.col("us").asc_nulls_last(), "event_id")
+    gaps = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("us").isNull()
+            | (F.col("us") - F.lag("us").over(w) > gap)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    ref = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+def test_sessionize_chunked_rejects_nonpositive_bucket(spark):
+    import pytest as _pytest
+
+    from iceberg_cache_spark.operators.sessionize import sessionize_chunked
+
+    ev = spark.createDataFrame([(1, 1, 10)], "event_id bigint, user_id bigint, us bigint")
+    with _pytest.raises(ValueError):
+        sessionize_chunked(ev, gap_us=5, bucket_us=0)
+
+
 # -- connected components: star vs min-label vs a driver union-find --------
 #
 # Random graphs (including disconnected nodes, chains, dense blobs):
