@@ -10,9 +10,8 @@ This module parallelizes the chain exactly, in two phases:
 
 1. **Local phase, per (key, time-bucket)** — the heavy, per-event work:
    order events within the bucket, flag gap breaks, running-sum local
-   session ids, and immediately aggregate to per-local-session rows
-   (count, min/max time). Every window task is bounded by one bucket of
-   one key, independent of key skew.
+   session ids. Every window task is bounded by one bucket of one key,
+   independent of key skew.
 2. **Merge phase, per key over BUCKET SUMMARIES** — tiny data (one row
    per non-empty bucket): a session spans a bucket boundary iff the
    first event of bucket *b* follows the last event of the previous
@@ -23,10 +22,16 @@ This module parallelizes the chain exactly, in two phases:
    local session and one merge, netting zero new sessions.
 
 The result is bit-identical to the single-window formulation (see the
-property test): same session numbering (1-based per key in
+property tests): same session numbering (1-based per key in
 (time NULLS LAST, id) order), same per-session aggregates. NULL event
 times keep their declared contract — each NULL-time event is its own
 session, numbered after all timed sessions of its key.
+
+Two entry points: :func:`sessionize_chunked` returns per-SESSION
+aggregates (count, start, end) and pre-aggregates inside the local
+phase so per-event rows never leave it; :func:`sessionize_chunked_ids`
+returns the input rows with their global ``session_id`` attached, for
+downstream per-session operators (ordered funnels, session features).
 """
 
 from __future__ import annotations
@@ -35,29 +40,20 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def sessionize_chunked(
-    events: DataFrame,
+def _local_and_merge(
+    nn: DataFrame,
     gap_us: int,
     bucket_us: int,
-    part_col: str = "user_id",
-    id_col: str = "event_id",
-    us_col: str = "us",
-) -> DataFrame:
-    """Per-session aggregates ``(part, session_id, n_events, start_us,
-    end_us)`` equal to the classic lag+running-sum sessionization over
-    ``(us NULLS LAST, id)`` order with a ``gap_us`` inactivity break.
-    ``bucket_us`` bounds each window task; any value > 0 is exact
-    (bucket boundaries only add merge rows, never change semantics —
-    unlike the rolling halo there is no width constraint)."""
-    if bucket_us <= 0:
-        raise ValueError(f"bucket_us={bucket_us} must be positive")
-    ev = events.select(part_col, id_col, us_col)
-    nn = ev.filter(F.col(us_col).isNotNull())
+    part_col: str,
+    id_col: str,
+    us_col: str,
+):
+    """Shared phases over the non-NULL-time rows: per-(key, bucket)
+    local session ids (``loc``: input columns + ``_b``/``_lsid``) and
+    the per-bucket merge table (``bmerge``: ``_merged``/``_base``)."""
     bkt = F.expr(
         f"(({us_col} - pmod({us_col}, {bucket_us})) DIV {bucket_us})"
     )
-
-    # phase 1: per-(key, bucket) local sessions, aggregated immediately
     wloc = W.partitionBy(part_col, "_b").orderBy(us_col, id_col)
     loc = (
         nn.withColumn("_b", bkt)
@@ -73,18 +69,12 @@ def sessionize_chunked(
             "_lsid",
             F.sum("_new").over(wloc.rowsBetween(W.unboundedPreceding, 0)),
         )
+        .drop("_new")
     )
-    locagg = loc.groupBy(part_col, "_b", "_lsid").agg(
-        F.count("*").alias("_n"),
-        F.min(us_col).alias("_min_us"),
-        F.max(us_col).alias("_max_us"),
-    )
-
-    # phase 2: per-key merge over bucket summaries (one row per bucket)
-    bsum = locagg.groupBy(part_col, "_b").agg(
+    bsum = loc.groupBy(part_col, "_b").agg(
         F.max("_lsid").alias("_nloc"),
-        F.min("_min_us").alias("_first"),
-        F.max("_max_us").alias("_last"),
+        F.min(us_col).alias("_first"),
+        F.max(us_col).alias("_last"),
     )
     wb = W.partitionBy(part_col).orderBy("_b")
     prev_last = F.lag("_last").over(wb)
@@ -108,18 +98,41 @@ def sessionize_chunked(
             F.lit(0),
         ),
     )
+    return loc, bmerge
 
-    # global session id; boundary-merged locals collapse in the re-agg
+
+def sessionize_chunked(
+    events: DataFrame,
+    gap_us: int,
+    bucket_us: int,
+    part_col: str = "user_id",
+    id_col: str = "event_id",
+    us_col: str = "us",
+) -> DataFrame:
+    """Per-session aggregates ``(part, session_id, n_events, start_us,
+    end_us)`` equal to the classic lag+running-sum sessionization over
+    ``(us NULLS LAST, id)`` order with a ``gap_us`` inactivity break.
+    ``bucket_us`` bounds each window task; any value > 0 is exact
+    (bucket boundaries only add merge rows, never change semantics —
+    unlike the rolling halo there is no width constraint)."""
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us={bucket_us} must be positive")
+    ev = events.select(part_col, id_col, us_col)
+    nn = ev.filter(F.col(us_col).isNotNull())
+    loc, bmerge = _local_and_merge(
+        nn, gap_us, bucket_us, part_col, id_col, us_col
+    )
+    # aggregate per local session BEFORE the merge join: per-event rows
+    # never leave the local phase
+    locagg = loc.groupBy(part_col, "_b", "_lsid").agg(
+        F.count("*").alias("_n"),
+        F.min(us_col).alias("_min_us"),
+        F.max(us_col).alias("_max_us"),
+    )
     gsid = (F.col("_base") + F.col("_lsid") - F.col("_merged")).cast("bigint")
     timed = (
         locagg.join(bmerge, [part_col, "_b"])
-        .select(
-            part_col,
-            gsid.alias("session_id"),
-            "_n",
-            "_min_us",
-            "_max_us",
-        )
+        .select(part_col, gsid.alias("session_id"), "_n", "_min_us", "_max_us")
         .groupBy(part_col, "session_id")
         .agg(
             F.sum("_n").cast("bigint").alias("n_events"),
@@ -127,26 +140,195 @@ def sessionize_chunked(
             F.max("_max_us").alias("end_us"),
         )
     )
+    nulls = _null_sessions(ev, bmerge, part_col, id_col, us_col).select(
+        part_col,
+        "session_id",
+        F.lit(1).cast("bigint").alias("n_events"),
+        F.lit(None).cast("long").alias("start_us"),
+        F.lit(None).cast("long").alias("end_us"),
+    )
+    return timed.unionByName(nulls)
 
-    # NULL event times: own sessions, numbered after all timed sessions
+
+def sessionize_chunked_ids(
+    events: DataFrame,
+    gap_us: int,
+    bucket_us: int,
+    part_col: str = "user_id",
+    id_col: str = "event_id",
+    us_col: str = "us",
+) -> DataFrame:
+    """The input rows (ALL columns preserved) with their global
+    ``session_id`` attached — same numbering as
+    :func:`sessionize_chunked`. For downstream per-session operators;
+    the join back to the merge table is on (key, bucket), so no task
+    ever holds more than one bucket of one key."""
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us={bucket_us} must be positive")
+    nn = events.filter(F.col(us_col).isNotNull())
+    loc, bmerge = _local_and_merge(
+        nn, gap_us, bucket_us, part_col, id_col, us_col
+    )
+    gsid = (F.col("_base") + F.col("_lsid") - F.col("_merged")).cast("bigint")
+    timed = (
+        loc.join(bmerge.select(part_col, "_b", "_merged", "_base"), [part_col, "_b"])
+        .withColumn("session_id", gsid)
+        .drop("_b", "_lsid", "_merged", "_base")
+    )
+    null_ids = _null_sessions(
+        events.select(part_col, id_col, us_col), bmerge, part_col, id_col, us_col
+    )
+    nulls = events.filter(F.col(us_col).isNull()).join(
+        null_ids.select(part_col, id_col, "session_id"), [part_col, id_col]
+    )
+    return timed.unionByName(nulls)
+
+
+def _null_sessions(
+    ev: DataFrame, bmerge: DataFrame, part_col: str, id_col: str, us_col: str
+) -> DataFrame:
+    """NULL-time rows as their own sessions, numbered after all timed
+    sessions of their key (id order). The rank window is bounded by the
+    key's NULL-time row count."""
     total = bmerge.groupBy(part_col).agg(
         F.sum(F.col("_nloc") - F.col("_merged")).alias("_S")
     )
     wnull = W.partitionBy(part_col).orderBy(id_col)
-    nulls = (
+    return (
         ev.filter(F.col(us_col).isNull())
         .join(total, part_col, "left")
         .select(
             part_col,
+            id_col,
             (
-                F.coalesce(F.col("_S"), F.lit(0))
-                + F.row_number().over(wnull)
+                F.coalesce(F.col("_S"), F.lit(0)) + F.row_number().over(wnull)
             )
             .cast("bigint")
             .alias("session_id"),
+        )
+    )
+
+
+def session_funnel_chunked(
+    events: DataFrame,
+    gap_us: int,
+    bucket_us: int,
+    part_col: str = "user_id",
+    id_col: str = "event_id",
+    us_col: str = "us",
+    type_col: str = "event_type",
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Session-scoped ordered three-stage funnel (did stage1 → then
+    stage2 → then stage3 happen, in event order, within each gap
+    session), computed with every task bounded by one (key, bucket):
+
+    - the heavy per-event pass computes q156-style running stage flags
+      WITHIN each (key, bucket, local-session) segment — one window
+      shuffle, segment-bounded sorts;
+    - segments aggregate to one summary row carrying the funnel
+      MONOID state: (v, c, p) stage presence, (vc, cp, vcp) ordered
+      pairs/triple within the segment;
+    - per session, summaries compose across buckets with two stacked
+      cumulative windows over SEGMENT rows (one per spanned bucket —
+      tiny): a cross-segment pair exists iff a later segment supplies
+      the next stage after an earlier prefix supplied the previous one
+        vc* (s) = vc(s) ∨ (v_before(s) ∧ c(s))
+        vcp*(s) = vcp(s) ∨ (vc*_before(s) ∧ p(s)) ∨ (v_before(s) ∧ cp(s))
+      — an exhaustive case split on which segment holds each stage, so
+      the composition is exact, not heuristic.
+
+    Returns ``(part, session_id, n_events, reached_view, reached_click,
+    reached_purchase)`` bit-identical to the single-window funnel
+    (property-tested). NULL-time events are single-event sessions
+    numbered after the timed ones: stage1 may be reached, ordered pairs
+    never (one row cannot order two stages)."""
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us={bucket_us} must be positive")
+    s1, s2, s3 = stages
+    ev = events.select(part_col, id_col, us_col, type_col)
+    nn = ev.filter(F.col(us_col).isNotNull())
+    loc, bmerge = _local_and_merge(
+        nn, gap_us, bucket_us, part_col, id_col, us_col
+    )
+    wseg = (
+        W.partitionBy(part_col, "_b", "_lsid")
+        .orderBy(us_col, id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    is1 = F.when(F.col(type_col) == s1, 1).otherwise(0)
+    is2 = F.when(F.col(type_col) == s2, 1).otherwise(0)
+    is3 = F.when(F.col(type_col) == s3, 1).otherwise(0)
+    flagged = (
+        loc.withColumn("_sv", F.max(is1).over(wseg))
+        .withColumn("_sc", F.max(is2).over(wseg))
+        .withColumn("_vc", F.max(is2 * F.col("_sv")).over(wseg))
+        .withColumn("_cp", F.max(is3 * F.col("_sc")).over(wseg))
+        .withColumn("_vcp", F.max(is3 * F.col("_vc")).over(wseg))
+    )
+    seg = flagged.groupBy(part_col, "_b", "_lsid").agg(
+        F.count("*").alias("_n"),
+        F.max(is1).alias("_v"),
+        F.max(is2).alias("_c"),
+        F.max(is3).alias("_p"),
+        F.max("_vc").alias("_seg_vc"),
+        F.max("_cp").alias("_seg_cp"),
+        F.max("_vcp").alias("_seg_vcp"),
+    )
+    gsid = (F.col("_base") + F.col("_lsid") - F.col("_merged")).cast("bigint")
+    seg = seg.join(bmerge, [part_col, "_b"]).select(
+        part_col,
+        gsid.alias("session_id"),
+        "_b",
+        "_n",
+        "_v",
+        "_c",
+        "_p",
+        "_seg_vc",
+        "_seg_cp",
+        "_seg_vcp",
+    )
+    # cross-segment composition: one row per spanned bucket per session
+    wprev = (
+        W.partitionBy(part_col, "session_id")
+        .orderBy("_b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    v_before = F.coalesce(F.max("_v").over(wprev), F.lit(0))
+    comp1 = seg.withColumn(
+        "_vc_star",
+        F.greatest(F.col("_seg_vc"), v_before * F.col("_c")),
+    ).withColumn("_v_before", v_before)
+    vc_before = F.coalesce(F.max("_vc_star").over(wprev), F.lit(0))
+    comp2 = comp1.withColumn(
+        "_vcp_star",
+        F.greatest(
+            F.col("_seg_vcp"),
+            vc_before * F.col("_p"),
+            F.col("_v_before") * F.col("_seg_cp"),
+        ),
+    )
+    timed = comp2.groupBy(part_col, "session_id").agg(
+        F.sum("_n").cast("bigint").alias("n_events"),
+        F.max("_v").cast("int").alias("reached_view"),
+        F.max("_vc_star").cast("int").alias("reached_click"),
+        F.max("_vcp_star").cast("int").alias("reached_purchase"),
+    )
+    nulls = (
+        _null_sessions(
+            ev.select(part_col, id_col, us_col), bmerge, part_col, id_col, us_col
+        )
+        .join(
+            ev.filter(F.col(us_col).isNull()).select(part_col, id_col, type_col),
+            [part_col, id_col],
+        )
+        .select(
+            part_col,
+            "session_id",
             F.lit(1).cast("bigint").alias("n_events"),
-            F.lit(None).cast("long").alias("start_us"),
-            F.lit(None).cast("long").alias("end_us"),
+            is1.cast("int").alias("reached_view"),
+            F.lit(0).cast("int").alias("reached_click"),
+            F.lit(0).cast("int").alias("reached_purchase"),
         )
     )
     return timed.unionByName(nulls)

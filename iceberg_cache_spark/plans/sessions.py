@@ -285,9 +285,9 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@declared(
-    "q156_session_funnel",
-    f"""WITH ev AS (
+# one oracle text for both session-funnel plans (q156 single-shuffle
+# window composition, q168 skew-chunked window-free aggregates).
+_FUNNEL_ORACLE = f"""WITH ev AS (
          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
          FROM events),
        gaps AS (
@@ -334,8 +334,10 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
               CAST(MAX(click_after_view) AS INT) AS reached_click,
               CAST(MAX(purchase_after) AS INT) AS reached_purchase
        FROM flag3 GROUP BY user_id, session_id
-       ORDER BY user_id, session_id""",
-)
+       ORDER BY user_id, session_id"""
+
+
+@declared("q156_session_funnel", _FUNNEL_ORACLE)
 def q156(spark: SparkSession, sf: str) -> DataFrame:
     """Session-scoped ORDERED funnel: within each 30-min-gap session,
     did the user view -> (then) click -> (then) purchase, in event
@@ -445,4 +447,41 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
         "start_us",
         "end_us",
         (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+    ).orderBy("user_id", "session_id")
+
+
+@declared("q168_session_funnel_chunked", _FUNNEL_ORACLE)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME session-scoped ordered funnel as q156, computed
+    skew-resiliently (``operators/sessionize.py::session_funnel_chunked``):
+    q156-style running stage flags WITHIN each (user, 4h-bucket,
+    local-session) segment — every window task bounded by one bucket of
+    one user — then the funnel state composes across buckets as a
+    monoid over SEGMENT SUMMARY rows (one per spanned bucket): a
+    cross-segment pair exists iff a later segment supplies the next
+    stage after an earlier prefix supplied the previous one, an
+    exhaustive case split (vc* = vc ∨ v_before∧c; vcp* = vcp ∨
+    vc*_before∧p ∨ v_before∧cp). One heavy shuffle total; no
+    per-session join ever touches the raw event stream. q156's plan,
+    by contrast, stacks four windows partitioned by the raw user key —
+    one hot user serializes its entire history through one task.
+    Declared oracle is literally q156's; flags and numbering are
+    bit-identical, including NULL-time single-event sessions."""
+    from iceberg_cache_spark.operators.sessionize import session_funnel_chunked
+
+    e = T(spark, sf, "events")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    out = session_funnel_chunked(ev, SESSION_GAP_US, SESS_BUCKET_US)
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "reached_view",
+        "reached_click",
+        "reached_purchase",
     ).orderBy("user_id", "session_id")

@@ -441,6 +441,97 @@ def test_sessionize_chunked_rejects_nonpositive_bucket(spark):
         sessionize_chunked(ev, gap_us=5, bucket_us=0)
 
 
+# -- chunked session funnel: bit-identical to the single-window plan -------
+#
+# session_funnel_chunked's monoid composition (segment flags per
+# (user, bucket, local-session), two cumulative windows over segment
+# summaries) must reproduce q156's stacked running-max flags exactly:
+# stages split across buckets in every arrangement, sessions spanning
+# 3+ buckets, NULL timestamps, buckets smaller than the gap.
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    gap=st.sampled_from([5, 30]),
+    bucket=st.sampled_from([7, 40, 200]),
+)
+def test_session_funnel_chunked_matches_single_window_random(spark, seed, gap, bucket):
+    import random as _random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from iceberg_cache_spark.operators.sessionize import session_funnel_chunked
+
+    rng = _random.Random(seed)
+    rows, t = [], 0
+    for i in range(rng.randint(1, 80)):
+        if rng.random() < 0.1:
+            ts = None
+        else:
+            t += rng.choice([1, 2, 3, gap, gap + 1, bucket, 2 * bucket + gap])
+            ts = t - (t % bucket) if rng.random() < 0.2 else t
+        rows.append(
+            (i, rng.randint(0, 2), ts, rng.choice(["view", "click", "purchase", "other"]))
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, us bigint, event_type string"
+    )
+    got = {
+        (r.user_id, r.session_id): (
+            r.n_events, r.reached_view, r.reached_click, r.reached_purchase
+        )
+        for r in session_funnel_chunked(ev, gap, bucket).collect()
+    }
+    # the q156 single-window formulation, inline
+    wu = W.partitionBy("user_id").orderBy(F.col("us").asc_nulls_last(), "event_id")
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("us").isNull()
+            | (F.col("us") - F.lag("us").over(wu) > gap)
+            | F.lag("us").over(wu).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    ws = (
+        W.partitionBy("user_id", "session_id")
+        .orderBy(F.col("us").asc_nulls_last(), "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    f1 = sess.withColumn(
+        "sv", F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(ws)
+    )
+    f2 = f1.withColumn(
+        "cv",
+        F.max(
+            F.when((F.col("event_type") == "click") & (F.col("sv") == 1), 1).otherwise(0)
+        ).over(ws),
+    )
+    f3 = f2.withColumn(
+        "pc",
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("cv") == 1), 1).otherwise(0)
+        ).over(ws),
+    )
+    ref = {
+        (r.user_id, r.session_id): (r.n_events, r.rv, r.rc, r.rp)
+        for r in f3.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("sv").cast("int").alias("rv"),
+            F.max("cv").cast("int").alias("rc"),
+            F.max("pc").cast("int").alias("rp"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
 # -- connected components: star vs min-label vs a driver union-find --------
 #
 # Random graphs (including disconnected nodes, chains, dense blobs):
