@@ -437,6 +437,59 @@ def child_scale_probe(out_path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# child: skew probe — hot-key plans vs their single-window defaults
+# ---------------------------------------------------------------------------
+
+SKEW_PROBE_ROWS = int(os.environ.get("SPARK_GRAFT_SKEW_PROBE_ROWS", "5000000"))
+
+
+def child_skew_probe(out_path: str) -> None:
+    """The skew tier's standing measurement: the three per-key chain /
+    window queries and their skew-resilient twins (q152/q167 sessions,
+    q156/q168 funnel, q153/q166 rolling) on a deterministic hot-key
+    events corpus (~86% of SKEW_PROBE_ROWS rows on one user,
+    tools/gen_skewdata.ensure_hotkey_events). Median-of-3 per cell with
+    the suite's spread gate. The default plans are EXPECTED to be slow
+    here — the probe exists so the chunked plans' advantage (and the
+    defaults' degradation) stays measured every round instead of only
+    in SCALE_r7's one-off numbers."""
+    from iceberg_cache_spark.plans import QUERIES
+    from tools.gen_skewdata import SKEW_ONE_IN, ensure_hotkey_events
+
+    spark = _build_session()
+    d = ensure_hotkey_events(SKEW_PROBE_ROWS)
+    pairs = [
+        ("q152_sessionization", "q167_sessionization_chunked"),
+        ("q156_session_funnel", "q168_session_funnel_chunked"),
+        ("q153_rolling_window", "q166_rolling_window_chunked"),
+    ]
+    probe_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+    out: dict = {
+        "rows": SKEW_PROBE_ROWS,
+        "hot_share": round(1.0 - 1.0 / SKEW_ONE_IN, 3),
+        "cells": {},
+    }
+    for name in [q for pair in pairs for q in pair]:
+        samples = []
+        for _ in range(probe_runs):
+            settle(spark)
+            t0 = time.perf_counter()
+            run_query(QUERIES[name](spark, d))
+            samples.append(time.perf_counter() - t0)
+        out["cells"][name] = {
+            "sec": round(statistics.median(samples), 3),
+            "spread_ok": spread_is_ok(min(samples), max(samples)),
+        }
+    for default, chunked in pairs:
+        out["cells"][chunked]["speedup_vs_default"] = round(
+            out["cells"][default]["sec"] / out["cells"][chunked]["sec"], 2
+        )
+    with open(out_path, "w") as fh:
+        json.dump(out, fh)
+    spark.stop()
+
+
 def _run_child(args: list[str]) -> None:
     """Run one measurement child; retry once on failure (a crashed JVM
     shouldn't lose the whole round's bench), then fail loudly."""
@@ -475,6 +528,13 @@ def main() -> None:
         with open(probe_out) as fh:
             scale_probe = json.load(fh)
 
+    skew_probe: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKEW_PROBE", "1") != "0":
+        skew_out = os.path.join(tmpdir, "skew_probe.json")
+        _run_child(["--skew-probe", skew_out])
+        with open(skew_out) as fh:
+            skew_probe = json.load(fh)
+
     for lo in range(0, n, group_size):
         hi = min(lo + group_size, n)
         out = os.path.join(tmpdir, f"slice_{lo}_{hi}.json")
@@ -508,6 +568,7 @@ def main() -> None:
         "spread_gate": SPREAD_MAX,
         "remeasured": remeasured,
         "scale_probe": scale_probe,
+        "skew_probe": skew_probe,
         "cache": {"cold_sec": cache["cold_sec"], "hit_sec": cache["hit_sec"]},
         "dedup_cache_reuse": cache_reuse,
         "sf": sf,
@@ -536,6 +597,8 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "--scale-probe":
         child_scale_probe(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew-probe":
+        child_skew_probe(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--cache":
         child_cache(
             os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),

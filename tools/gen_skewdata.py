@@ -150,3 +150,53 @@ def ensure_skewdata(src: str = SRC, dst: str = DST, sf: str = SF) -> str:
 
 if __name__ == "__main__":
     generate()
+
+
+HOTKEY_GEN_VERSION = 1
+
+
+def ensure_hotkey_events(n_rows: int, base: str | None = None) -> str:
+    """Deterministic hot-key events corpus for the skew perf probe:
+    ~86% of rows on one user (same 1-in-SKEW_ONE_IN mask as the
+    correctness variant), timestamps uniform over 90 days at 1 s
+    resolution (dense enough that the hot user's events sit far inside
+    one gap/frame — the chain/window worst case). Sidecar-versioned
+    like every other generated corpus."""
+    dst = os.path.join(base or os.path.join(_REPO, ".skewdata"), f"hotkey_{n_rows}")
+    sidecar = os.path.join(dst, "_GENVER.json")
+    want = {"version": HOTKEY_GEN_VERSION, "n_rows": n_rows}
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                if json.load(fh) == want:
+                    return dst
+        except Exception:
+            pass
+    os.makedirs(dst, exist_ok=True)
+    ids = np.arange(n_rows, dtype=np.int64)
+    hot = (ids * np.int64(0x9E3779B9) % np.int64(SKEW_ONE_IN)) != 0
+    users = np.where(hot, np.int64(14), ids % 50).astype(np.int64)
+    # splitmix over the id: deterministic "uniform" seconds offset
+    with np.errstate(over="ignore"):
+        x = ids.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(31)
+    secs = (x % np.uint64(90 * 86_400)).astype(np.int64)
+    base_us = np.int64(1_700_000_000_000_000)
+    ts = base_us + secs * np.int64(1_000_000)
+    val = ((x >> np.uint64(7)) % np.uint64(10_000)).astype(np.int64) / 100.0 - 50.0
+    t = pa.table(
+        {
+            "event_id": ids,
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": users,
+            "event_type": pa.array(
+                np.where(ids % 3 == 0, "view", np.where(ids % 3 == 1, "click", "purchase"))
+            ),
+            "value": val,
+            "props": pa.array(["{}"] * n_rows),
+        }
+    )
+    pq.write_table(t, os.path.join(dst, "events.parquet"))
+    with open(sidecar, "w") as fh:
+        json.dump(want, fh)
+    return dst
