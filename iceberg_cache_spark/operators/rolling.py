@@ -296,7 +296,12 @@ def rolling_time_agg_chunked(
         ).alias("_gnn"),
         F.sum(val_col).alias("_gs"),
     )
-    out_null = nulls.join(ngrp, part_col).select(
+    # NULL-SAFE key join: a NULL partition key is one ordinary peer
+    # group in window semantics; a plain equi-join would drop its rows
+    out_null = nulls.join(
+        ngrp.withColumnRenamed(part_col, "_rpart"),
+        F.col(part_col).eqNullSafe(F.col("_rpart")),
+    ).select(
         part_col,
         id_col,
         us_col,

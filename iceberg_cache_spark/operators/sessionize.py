@@ -40,6 +40,27 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _join_on_part(
+    left: DataFrame,
+    right: DataFrame,
+    part_col: str,
+    extra: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join on the partition key NULL-SAFELY (plus an optional exact
+    extra key). Window/groupBy treat a NULL key as one ordinary group
+    on both engines, so the merge joins must too — a plain equi-join
+    would silently drop every NULL-key row (rows the single-window
+    formulation keeps)."""
+    rp = right.withColumnRenamed(part_col, "_rpart")
+    cond = F.col(part_col).eqNullSafe(F.col("_rpart"))
+    if extra is not None:
+        rp = rp.withColumnRenamed(extra, "_rextra")
+        cond = cond & (F.col(extra) == F.col("_rextra"))
+    out = left.join(rp, cond, how).drop("_rpart")
+    return out.drop("_rextra") if extra is not None else out
+
+
 def _local_and_merge(
     nn: DataFrame,
     gap_us: int,
@@ -131,7 +152,7 @@ def sessionize_chunked(
     )
     gsid = (F.col("_base") + F.col("_lsid") - F.col("_merged")).cast("bigint")
     timed = (
-        locagg.join(bmerge, [part_col, "_b"])
+        _join_on_part(locagg, bmerge, part_col, extra="_b")
         .select(part_col, gsid.alias("session_id"), "_n", "_min_us", "_max_us")
         .groupBy(part_col, "session_id")
         .agg(
@@ -171,7 +192,9 @@ def sessionize_chunked_ids(
     )
     gsid = (F.col("_base") + F.col("_lsid") - F.col("_merged")).cast("bigint")
     timed = (
-        loc.join(bmerge.select(part_col, "_b", "_merged", "_base"), [part_col, "_b"])
+        _join_on_part(
+            loc, bmerge.select(part_col, "_b", "_merged", "_base"), part_col, extra="_b"
+        )
         .withColumn("session_id", gsid)
         .drop("_b", "_lsid", "_merged", "_base")
     )
@@ -179,7 +202,7 @@ def sessionize_chunked_ids(
         events.select(part_col, id_col, us_col), bmerge, part_col, id_col, us_col
     )
     nulls = events.filter(F.col(us_col).isNull()).join(
-        null_ids.select(part_col, id_col, "session_id"), [part_col, id_col]
+        null_ids.select(id_col, "session_id"), [id_col]
     )
     return timed.unionByName(nulls)
 
@@ -195,8 +218,9 @@ def _null_sessions(
     )
     wnull = W.partitionBy(part_col).orderBy(id_col)
     return (
-        ev.filter(F.col(us_col).isNull())
-        .join(total, part_col, "left")
+        _join_on_part(
+            ev.filter(F.col(us_col).isNull()), total, part_col, how="left"
+        )
         .select(
             part_col,
             id_col,
@@ -276,7 +300,7 @@ def session_funnel_chunked(
         F.max("_vcp").alias("_seg_vcp"),
     )
     gsid = (F.col("_base") + F.col("_lsid") - F.col("_merged")).cast("bigint")
-    seg = seg.join(bmerge, [part_col, "_b"]).select(
+    seg = _join_on_part(seg, bmerge, part_col, extra="_b").select(
         part_col,
         gsid.alias("session_id"),
         "_b",
@@ -319,8 +343,8 @@ def session_funnel_chunked(
             ev.select(part_col, id_col, us_col), bmerge, part_col, id_col, us_col
         )
         .join(
-            ev.filter(F.col(us_col).isNull()).select(part_col, id_col, type_col),
-            [part_col, id_col],
+            ev.filter(F.col(us_col).isNull()).select(id_col, type_col),
+            [id_col],
         )
         .select(
             part_col,

@@ -323,7 +323,7 @@ def test_rolling_chunked_matches_unchunked_random(spark, seed, width, bucket_mul
         rows.append(
             (
                 i,
-                rng.randint(0, 2),
+                None if rng.random() < 0.1 else rng.randint(0, 2),
                 ts,
                 None if rng.random() < 0.25 else round(rng.uniform(-50, 50), 2),
             )
@@ -397,7 +397,7 @@ def test_sessionize_chunked_matches_single_window_random(spark, seed, gap, bucke
             # long jumps (gap breaks), some boundary-exact landings
             t += rng.choice([1, 2, 3, gap, gap + 1, bucket, 2 * bucket + gap])
             ts = t - (t % bucket) if rng.random() < 0.2 else t
-        rows.append((i, rng.randint(0, 2), ts))
+        rows.append((i, None if rng.random() < 0.1 else rng.randint(0, 2), ts))
     ev = spark.createDataFrame(rows, "event_id bigint, user_id bigint, us bigint")
 
     got = {
@@ -473,7 +473,7 @@ def test_session_funnel_chunked_matches_single_window_random(spark, seed, gap, b
             t += rng.choice([1, 2, 3, gap, gap + 1, bucket, 2 * bucket + gap])
             ts = t - (t % bucket) if rng.random() < 0.2 else t
         rows.append(
-            (i, rng.randint(0, 2), ts, rng.choice(["view", "click", "purchase", "other"]))
+            (i, None if rng.random() < 0.1 else rng.randint(0, 2), ts, rng.choice(["view", "click", "purchase", "other"]))
         )
     ev = spark.createDataFrame(
         rows, "event_id bigint, user_id bigint, us bigint, event_type string"
