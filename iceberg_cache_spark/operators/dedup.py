@@ -585,8 +585,10 @@ def connected_components(
             .count()
         )
         # the probe was the last reader of the previous round's blocks
-        # (round-0 labels derive from `edges`; root-only => no-op there)
-        unmaterialize(labels)
+        # (round-0 labels derive from `edges`; root-only => no-op there).
+        # successor=new: the release only happens if the probe really
+        # did fill new's lazy checkpoint (guard, r7 advice)
+        unmaterialize(labels, successor=new)
         labels = new
         if changed == 0:
             converged = True
@@ -774,7 +776,9 @@ def connected_components_star(
         )
         new_e = materialize(small, eager=False)
         fp = _fingerprint(new_e)  # one job: computes new_e AND checkpoints it
-        unmaterialize(e)  # superseded round: new_e is self-contained now
+        # superseded round; successor guard verifies new_e really is
+        # self-contained before the release (r7 advice)
+        unmaterialize(e, successor=new_e)
         e = new_e
         if fp == prev:
             break

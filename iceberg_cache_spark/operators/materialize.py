@@ -57,7 +57,14 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
-def unmaterialize(df: DataFrame) -> None:
+def _root_rdd(df: DataFrame):
+    """The java RDD behind ``df`` iff its plan ROOT is a checkpointed
+    scan (what ``materialize`` returns), else None."""
+    plan = df._jdf.queryExecution().analyzed()
+    return plan.rdd() if plan.nodeName() == "LogicalRDD" else None
+
+
+def unmaterialize(df: DataFrame, successor: DataFrame | None = None) -> None:
     """Release the storage blocks of a ``materialize`` result whose
     plan ROOT is the checkpointed scan — i.e. ``df`` is exactly what
     ``materialize`` returned, not a derivation of it (then it's a
@@ -67,10 +74,28 @@ def unmaterialize(df: DataFrame) -> None:
     unreferenced blocks are eventually reclaimed by the ContextCleaner
     regardless; calling this frees executor memory NOW, which matters
     in iterative loops and long-lived sessions where superseded round
-    checkpoints otherwise accumulate (r6 advice)."""
+    checkpoints otherwise accumulate (r6 advice).
+
+    ``successor`` guards the iterative-loop pattern (r7 advice): a
+    round's ``materialize(..., eager=False)`` result is only
+    self-contained once an intervening action has actually filled its
+    checkpoint — local-checkpointed RDDs CANNOT recompute their
+    predecessor's unpersisted blocks, so releasing ``df`` before that
+    action would fail unrecoverably on a code reordering. Pass the
+    lazily-materialized successor and the unpersist is SKIPPED (blocks
+    kept, correctness preserved, only memory deferred) unless the
+    successor's checkpoint is verifiably complete
+    (``RDD.isCheckpointed``). Call sites that can't hand over the
+    successor handle must guarantee the ordering by construction and
+    say so in a comment."""
     try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.nodeName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+        rdd = _root_rdd(df)
+        if rdd is None:
+            return
+        if successor is not None:
+            srdd = _root_rdd(successor)
+            if srdd is None or not srdd.isCheckpointed():
+                return  # successor not self-contained yet: keep blocks
+        rdd.unpersist(False)
     except Exception:
         pass

@@ -356,3 +356,188 @@ def session_funnel_chunked(
         )
     )
     return timed.unionByName(nulls)
+
+
+# ---------------------------------------------------------------------------
+# default (single-window) plans + automatic plan selection (round 8)
+# ---------------------------------------------------------------------------
+
+
+def sessionize_default(
+    events: DataFrame,
+    gap_us: int,
+    part_col: str = "user_id",
+    id_col: str = "event_id",
+    us_col: str = "us",
+) -> DataFrame:
+    """The classic lag + running-sum sessionization (q152's plan,
+    extracted verbatim so the auto selector can delegate to it):
+    cheapest when keys are plentiful — one hash shuffle on the key,
+    both windows and the final aggregate reuse the exchange. Same
+    output contract as :func:`sessionize_chunked`: ``(part,
+    session_id, n_events, start_us, end_us)``, NULL-time events as
+    their own trailing sessions."""
+    w = W.partitionBy(part_col).orderBy(
+        F.col(us_col).asc_nulls_last(), id_col
+    )
+    ev = events.select(part_col, id_col, us_col)
+    gaps = ev.withColumn(
+        "_new_sess",
+        F.when(
+            F.col(us_col).isNull()
+            | (F.col(us_col) - F.lag(us_col).over(w) > gap_us)
+            | F.lag(us_col).over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("_new_sess")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return sess.groupBy(part_col, "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min(us_col).alias("start_us"),
+        F.max(us_col).alias("end_us"),
+    )
+
+
+def session_funnel_default(
+    events: DataFrame,
+    gap_us: int,
+    part_col: str = "user_id",
+    id_col: str = "event_id",
+    us_col: str = "us",
+    type_col: str = "event_type",
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """The single-shuffle stacked-window ordered funnel (q156's plan,
+    extracted verbatim for the auto selector). Same output contract as
+    :func:`session_funnel_chunked`."""
+    s1, s2, s3 = stages
+    wu = W.partitionBy(part_col).orderBy(
+        F.col(us_col).asc_nulls_last(), id_col
+    )
+    ev = events.select(part_col, id_col, type_col, us_col)
+    gaps = ev.withColumn(
+        "_new_sess",
+        F.when(
+            F.col(us_col).isNull()
+            | (F.col(us_col) - F.lag(us_col).over(wu) > gap_us)
+            | F.lag(us_col).over(wu).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("_new_sess")
+        .over(wu.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    ws = (
+        W.partitionBy(part_col, "session_id")
+        .orderBy(F.col(us_col).asc_nulls_last(), id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    flag1 = sess.withColumn(
+        "_seen1",
+        F.max(F.when(F.col(type_col) == s1, 1).otherwise(0)).over(ws),
+    )
+    flag2 = flag1.withColumn(
+        "_s2after",
+        F.max(
+            F.when(
+                (F.col(type_col) == s2) & (F.col("_seen1") == 1), 1
+            ).otherwise(0)
+        ).over(ws),
+    )
+    flag3 = flag2.withColumn(
+        "_s3after",
+        F.max(
+            F.when(
+                (F.col(type_col) == s3) & (F.col("_s2after") == 1), 1
+            ).otherwise(0)
+        ).over(ws),
+    )
+    return flag3.groupBy(part_col, "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("_seen1").cast("int").alias("reached_view"),
+        F.max("_s2after").cast("int").alias("reached_click"),
+        F.max("_s3after").cast("int").alias("reached_purchase"),
+    )
+
+
+def sessionize_auto(
+    events: DataFrame,
+    gap_us: int,
+    bucket_us: int,
+    part_col: str = "user_id",
+    id_col: str = "event_id",
+    us_col: str = "us",
+    hot_share_threshold: float = 0.3,
+    max_task_rows: int = 2_000_000,
+    sample_one_in: int = 16,
+) -> DataFrame:
+    """Skew-adaptive sessionization: the same deterministic key-skew
+    estimate as ``rolling_time_agg_auto`` (operators/rolling.py) picks
+    :func:`sessionize_default` on well-distributed keys and
+    :func:`sessionize_chunked` when one key would serialize the window
+    task. Output is bit-identical either way (property-tested), so
+    the estimator steers only cost."""
+    from iceberg_cache_spark.operators.rolling import choose_rolling_plan
+
+    plan, _ = choose_rolling_plan(
+        events,
+        part_col=part_col,
+        id_col=id_col,
+        hot_share_threshold=hot_share_threshold,
+        max_task_rows=max_task_rows,
+        sample_one_in=sample_one_in,
+    )
+    if plan == "chunked":
+        return sessionize_chunked(
+            events, gap_us, bucket_us,
+            part_col=part_col, id_col=id_col, us_col=us_col,
+        )
+    return sessionize_default(
+        events, gap_us, part_col=part_col, id_col=id_col, us_col=us_col
+    )
+
+
+def session_funnel_auto(
+    events: DataFrame,
+    gap_us: int,
+    bucket_us: int,
+    part_col: str = "user_id",
+    id_col: str = "event_id",
+    us_col: str = "us",
+    type_col: str = "event_type",
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    hot_share_threshold: float = 0.3,
+    max_task_rows: int = 2_000_000,
+    sample_one_in: int = 16,
+) -> DataFrame:
+    """Skew-adaptive ordered funnel: same selector, same bit-identical
+    output contract on both branches."""
+    from iceberg_cache_spark.operators.rolling import choose_rolling_plan
+
+    plan, _ = choose_rolling_plan(
+        events,
+        part_col=part_col,
+        id_col=id_col,
+        hot_share_threshold=hot_share_threshold,
+        max_task_rows=max_task_rows,
+        sample_one_in=sample_one_in,
+    )
+    if plan == "chunked":
+        return session_funnel_chunked(
+            events, gap_us, bucket_us,
+            part_col=part_col, id_col=id_col, us_col=us_col,
+            type_col=type_col, stages=stages,
+        )
+    return session_funnel_default(
+        events, gap_us,
+        part_col=part_col, id_col=id_col, us_col=us_col,
+        type_col=type_col, stages=stages,
+    )

@@ -8,18 +8,20 @@ oracle runs on the same parquet tables.
 Iteration-order contract: the driver verifies the first ~50 entries in
 registry iteration order each round and stops. The registry is ordered
 so that, across rounds, every query accumulates a driver CORRECTNESS
-row, freshest-evidence-last (round-7 protocol — VERDICT r6 item 3):
+row, freshest-evidence-last (round-8 protocol — VERDICT r7 items 1–3):
 
-1. q153_rolling_window (the only name never driver-green: red in
-   r5/r6 on the NULL-ts RANGE-frame divergence, fixed in
-   operators/rolling.py this round), then any oracle-matched query
-   without a prior driver row (new additions this round),
-2. already-certified queries, OLDEST driver evidence first: after
-   round 6 re-certified the stale-r3 tier, the oldest hash evidence
-   is the round-4 tier (q12–q59/q75–q77 relational families +
-   q148/q149/q150) — those 50 names follow,
-3. fresher oracle-matched names (r5/r6 evidence), oldest first,
-4. rows-only queries LAST: all 10 now carry their `no_oracle` rows
+1. HEAD_R8: q153/q166 (the only driver-red pair, carrying the r8
+   prefix-sum oracle rewrite that needs its first green), then the
+   three one-construct diagnostic probes q169–q171 (so a residual red
+   self-localizes), then the new q172 auto-plan query,
+2. the stale-r5 tier: names whose freshest hash evidence is round 5
+   (r6 re-certified the r3 tier, r7 the r4 tier), MINUS the four
+   DEFER_R8 names that keep tiers 0–1 within the driver's ~50-row
+   window (ADVICE r7: r7's 61-entry tier-0/1 silently dropped ~11
+   re-certifications) — tests/test_round3_fixes.py asserts the fit,
+3. DEFER_R8 (stale-r5 names rolling to round 9), then fresher
+   oracle-matched names (r6/r7 evidence),
+4. rows-only queries LAST: all carry their `no_oracle` rows
    (r6 burned 6 of 50 slots confirming the driver cannot hash-check
    them); they spend no further driver slots.
 
@@ -39,6 +41,7 @@ from iceberg_cache_spark.plans import extensions  # noqa: E402,F401
 from iceberg_cache_spark.plans import tpch  # noqa: E402,F401
 from iceberg_cache_spark.plans import datapipe  # noqa: E402,F401
 from iceberg_cache_spark.plans import sessions  # noqa: E402,F401
+from iceberg_cache_spark.plans import diagnostics  # noqa: E402,F401
 
 # Names the round-1 driver already hash-verified (CORRECTNESS_r01.json).
 DRIVER_VERIFIED_R1 = frozenset(
@@ -142,10 +145,35 @@ DEFER_R6 = frozenset(
     }
 )
 
-# Round-7 head: the ONLY query never driver-green — red in r5 (all-NULL
-# frame sum) and r6 (NULL-ts peer-group frame), both fixed in
-# operators/rolling.py; needs its first green row.
+# Historical round-7 head (audit trail; superseded by HEAD_R8).
 HEAD_R7 = ("q153_rolling_window",)
+
+# Round-8 head: the driver-red rolling pair first (now carrying the
+# prefix-sum oracle rewrite — plans/sessions.py), then the three
+# one-construct diagnostic probes that localize any residual red
+# (plans/diagnostics.py), then the new auto-plan query.
+HEAD_R8 = (
+    "q153_rolling_window",
+    "q166_rolling_window_chunked",
+    "q169_range_frame_probe",
+    "q170_decimal_cast_probe",
+    "q171_epoch_us_probe",
+    "q172_rolling_window_auto",
+)
+
+# Stale-r5 names deferred to round 9 so tiers 0–1 total exactly the
+# driver's ~50-row verification window (6 head + 44 re-certifications;
+# ADVICE r7: round 7 oversized the tiers to 61 and ~11 stale names
+# silently missed re-certification). All four already carry TWO green
+# driver rows (r2 + r5), so they are the lowest-risk names to roll.
+DEFER_R8 = frozenset(
+    {
+        "q100_string_agg",
+        "q101_conditional_aggs",
+        "q102_date_format",
+        "q103_more_strings",
+    }
+)
 
 
 def _priority(name: str) -> tuple[int, int]:
@@ -157,17 +185,20 @@ def _priority(name: str) -> tuple[int, int]:
         | DRIVER_VERIFIED_R4
         | DRIVER_VERIFIED_R5
         | DRIVER_VERIFIED_R6
+        | DRIVER_VERIFIED_R7
     )
-    fresh = DRIVER_VERIFIED_R5 | DRIVER_VERIFIED_R6
-    if name in HEAD_R7:
-        return (0, HEAD_R7.index(name) - len(QUERIES))
+    fresh = DRIVER_VERIFIED_R6 | DRIVER_VERIFIED_R7
+    if name in HEAD_R8:
+        return (0, HEAD_R8.index(name) - len(QUERIES))
     if name not in ORACLE:
-        return (4, order)  # rows-only: all no_oracle rows exist; no slots
+        return (5, order)  # rows-only: all no_oracle rows exist; no slots
     if name not in certified:
-        return (0, order)  # new this round: needs a first driver row
-    if name in DRIVER_VERIFIED_R4 and name not in fresh:
-        return (1, order)  # stalest hash evidence: r4-certified, not since
-    return (2, order)  # r5/r6-fresh
+        return (1, order)  # new this round: needs a first driver row
+    if name in DRIVER_VERIFIED_R5 and name not in fresh:
+        if name in DEFER_R8:
+            return (3, order)  # rolls to round 9 (window-fit, see above)
+        return (2, order)  # stalest hash evidence: r5-certified, not since
+    return (4, order)  # r6/r7-fresh
 
 
 # Names the round-5 driver verified (CORRECTNESS_r05.json): 48 hash-green
@@ -221,6 +252,32 @@ DRIVER_VERIFIED_R6 = frozenset(
 )
 
 
+# Names the round-7 driver hash-verified green (CORRECTNESS_r07.json:
+# 48 hash rows — first-attempt green for 9 of the 10 new r7 queries
+# (q159–q165, q167, q168) and the whole stale-r4 relational tier;
+# q153/q166 stayed red on the RANGE-offset oracle construct, since
+# rewritten — they re-lead via HEAD_R8).
+DRIVER_VERIFIED_R7 = frozenset(
+    {
+        "q12_full_join", "q13_semi_join", "q14_anti_join", "q15_cross_join",
+        "q16_theta_join", "q17_multiway_join_agg", "q18_broadcast_join",
+        "q159_repeated_spans", "q160_weighted_sample", "q161_mixture_sample",
+        "q162_percentile_clip", "q163_unigram_logprob",
+        "q164_pmi_collocations", "q165_token_novelty",
+        "q167_sessionization_chunked", "q168_session_funnel_chunked",
+        "q20_groupby_agg", "q21_count_distinct", "q22_having", "q23_rollup",
+        "q24_cube", "q25_scalar_agg", "q26_stddev_var", "q28_grouping_sets",
+        "q29_percentile", "q30_row_number", "q31_lag_lead", "q32_window_frame",
+        "q33_ntile", "q34_topk_per_group", "q40_order_limit", "q41_offset",
+        "q42_union_all", "q43_union_distinct", "q44_intersect", "q45_except",
+        "q46_scalar_subquery", "q47_in_subquery", "q48_cte",
+        "q50_string_funcs", "q51_regex", "q52_math_funcs", "q53_date_funcs",
+        "q54_timestamp_trunc", "q55_greatest_least", "q56_hash_funcs",
+        "q57_array_funcs", "q58_json",
+    }
+)
+
+
 def _reorder() -> None:
     ranked = sorted(QUERIES, key=_priority)
     reordered_q = {n: QUERIES[n] for n in ranked}
@@ -243,7 +300,10 @@ __all__ = [
     "DRIVER_VERIFIED_R4",
     "DRIVER_VERIFIED_R5",
     "DRIVER_VERIFIED_R6",
+    "DRIVER_VERIFIED_R7",
     "HEAD_R6",
     "DEFER_R6",
     "HEAD_R7",
+    "HEAD_R8",
+    "DEFER_R8",
 ]

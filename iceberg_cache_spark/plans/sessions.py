@@ -106,36 +106,25 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
 
     NULL event times: an event with unknown time is its own session
     (us IS NULL forces a boundary; NULLS LAST ordering is explicit on
-    both sides — the engines' ASC NULL defaults differ, r7 NULL gate)."""
+    both sides — the engines' ASC NULL defaults differ, r7 NULL gate).
+
+    The plan body lives in ``operators/sessionize.py::sessionize_default``
+    (extracted r8 so ``sessionize_auto`` delegates to the identical
+    expressions)."""
+    from iceberg_cache_spark.operators.sessionize import sessionize_default
+
     e = T(spark, sf, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = W.partitionBy("user_id").orderBy(
-        F.col("us").asc_nulls_last(), "event_id"
-    )
     ev = e.select("user_id", "event_id", us.alias("us"))
-    gaps = ev.withColumn(
-        "new_sess",
-        F.when(
-            F.col("us").isNull()
-            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
-            | F.lag("us").over(w).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    sess = gaps.withColumn(
+    s = sessionize_default(ev, SESSION_GAP_US)
+    return s.select(
+        "user_id",
         "session_id",
-        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
-    )
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.min("us").alias("start_us"),
-            F.max("us").alias("end_us"),
-            (F.max("us") - F.min("us")).alias("duration_us"),
-        )
-        .orderBy("user_id", "session_id")
-    )
+        "n_events",
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+    ).orderBy("user_id", "session_id")
 
 
 # one oracle text for both rolling-window plans (q153 unchunked,
@@ -301,6 +290,42 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@declared("q172_rolling_window_auto", _ROLL_ORACLE)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME per-user 1-hour rolling metrics as q153/q166, with the
+    ENGINE choosing the physical plan (``rolling_time_agg_auto``,
+    round-8): a deterministic 1-in-16 hash sample estimates the key
+    distribution, and the query runs unchunked on well-distributed
+    keys or chunked when one key's share (>=30%) or absolute row count
+    (>=2M) would serialize a window task. Closes the r7 gap where the
+    skew tier existed as a parallel API a 100 TB user had to know to
+    reach for — now the default path degrades gracefully under skew
+    without a code change. Output is bit-identical on either branch
+    (shared declared oracle; property tests pin both plans), so the
+    estimator steers only cost. On the standard fixtures (150+ uniform
+    users) it selects the default plan; on the skew gate's 86%-hot-key
+    fixture it selects chunked — both asserted in
+    tests/test_rolling_auto.py."""
+    from iceberg_cache_spark.operators.rolling import rolling_time_agg_auto
+
+    e = T(spark, sf, "events")
+    ev = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("dv"),
+    )
+    r = rolling_time_agg_auto(
+        ev, ROLL_US, ROLL_BUCKET_US, cnt_out="n_1h", sum_out="sum_1h"
+    )
+    return r.select(
+        "event_id",
+        "user_id",
+        F.col("n_1h").cast("bigint").alias("n_1h"),
+        F.col("sum_1h").cast("decimal(38,2)").alias("sum_1h"),
+    ).orderBy("event_id")
+
+
 @declared(
     "q155_tfidf_top_terms",
     f"""WITH toks AS (
@@ -430,63 +455,26 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     (plan-guarded), never an event-to-event self-join.
 
     NULL event times are their own sessions (same contract and explicit
-    NULLS LAST ordering as q152)."""
+    NULLS LAST ordering as q152).
+
+    The plan body lives in
+    ``operators/sessionize.py::session_funnel_default`` (extracted r8
+    so ``session_funnel_auto`` delegates to the identical
+    expressions)."""
+    from iceberg_cache_spark.operators.sessionize import session_funnel_default
+
     e = T(spark, sf, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    wu = W.partitionBy("user_id").orderBy(
-        F.col("us").asc_nulls_last(), "event_id"
-    )
     ev = e.select("user_id", "event_id", "event_type", us.alias("us"))
-    gaps = ev.withColumn(
-        "new_sess",
-        F.when(
-            F.col("us").isNull()
-            | (F.col("us") - F.lag("us").over(wu) > SESSION_GAP_US)
-            | F.lag("us").over(wu).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    sess = gaps.withColumn(
+    out = session_funnel_default(ev, SESSION_GAP_US)
+    return out.select(
+        "user_id",
         "session_id",
-        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
-    )
-    ws = (
-        W.partitionBy("user_id", "session_id")
-        .orderBy(F.col("us").asc_nulls_last(), "event_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    flag1 = sess.withColumn(
-        "seen_view",
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(ws),
-    )
-    flag2 = flag1.withColumn(
-        "click_after_view",
-        F.max(
-            F.when(
-                (F.col("event_type") == "click") & (F.col("seen_view") == 1), 1
-            ).otherwise(0)
-        ).over(ws),
-    )
-    flag3 = flag2.withColumn(
-        "purchase_after",
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("click_after_view") == 1),
-                1,
-            ).otherwise(0)
-        ).over(ws),
-    )
-    return (
-        flag3.groupBy("user_id", "session_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.max("seen_view").cast("int").alias("reached_view"),
-            F.max("click_after_view").cast("int").alias("reached_click"),
-            F.max("purchase_after").cast("int").alias("reached_purchase"),
-        )
-        .orderBy("user_id", "session_id")
-    )
+        "n_events",
+        "reached_view",
+        "reached_click",
+        "reached_purchase",
+    ).orderBy("user_id", "session_id")
 
 
 # bucket width for the chunked sessionization plan: 8 gap-widths (4 h)

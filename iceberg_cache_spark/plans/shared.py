@@ -49,7 +49,18 @@ def corpus_cache(spark: SparkSession) -> CacheManager:
     app_id = spark.sparkContext.applicationId
     mgr = _MANAGERS.get(app_id)
     if mgr is None:
-        _MANAGERS.clear()  # at most one live local SparkContext at a time
+        # at most one live local SparkContext at a time; unpersist the
+        # evicted managers' entries best-effort on the way out — if the
+        # old context IS still alive (a process alternating two
+        # contexts), bare dict removal would leak its persisted blocks
+        # (ADVICE r7). Errors are swallowed: for the common case (old
+        # context already stopped) the JVM-side unpersist just fails.
+        for old in _MANAGERS.values():
+            try:
+                old.clear()
+            except Exception:
+                pass
+        _MANAGERS.clear()
         mgr = _MANAGERS[app_id] = CacheManager(capacity_bytes=_CAPACITY_BYTES)
     return mgr
 
