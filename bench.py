@@ -90,16 +90,21 @@ def compact_line(payload: dict) -> dict:
         "spread_ok": sum(1 for v in spread_ok.values() if v),
         "spread_n": len(spread_ok),
         "cal_drift": (payload.get("calibration") or {}).get("drift_ratio"),
-        "detail": "BENCH_local.json",
+        # full detail (names, spreads, probes) is always in
+        # BENCH_local.json; no need to spend line chars saying so
     }
     # costliest-first so any truncation drops only the cheap tail;
-    # re-sort included keys by name for a stable, readable line
+    # re-sort included keys by name for a stable, readable line.
+    # Sub-second entries carry ONE decimal (their full precision lives
+    # in BENCH_local.json) — at 166 queries the saved chars move ~10
+    # cheap-tail entries back onto the line (r8: 24 omitted tripped
+    # the test's max(15, n//8) coverage bound; now 12).
     ranked = sorted(payload["queries"].items(), key=lambda kv: -kv[1])
     used = len(json.dumps(line, separators=(",", ":")))
     short = {}
     for k, v in ranked:
         m = re.match(r"(q\d+)", k)
-        entry = {m.group(1) if m else k: round(v, 2)}
+        entry = {m.group(1) if m else k: round(v, 2) if v >= 1 else round(v, 1)}
         cost = len(json.dumps(entry, separators=(",", ":"))) - 1
         if used + cost > budget:
             break
@@ -464,23 +469,41 @@ def child_calibration(sf_dir: str, runs: int, out_path: str) -> None:
     """Measure the three calibration anchors on a fresh JVM before any
     other child touches the machine. drift_ratio = median over anchors
     of (today / r7 reference); a payload's raw suite total divided by
-    drift_ratio is the drift-normalized cross-round comparable."""
+    drift_ratio is the drift-normalized cross-round comparable.
+
+    The r7 reference medians are sf0.1 numbers from one specific
+    machine, so the ratio is only meaningful at sf0.1 (ADVICE r8): at
+    any other scale the anchors still get measured and recorded, but
+    drift_ratio is left None so value_drift_normalized and the line's
+    cal_drift can never be silently computed against the wrong scale."""
     from iceberg_cache_spark.plans import QUERIES
 
     spark = _build_session()
-    out: dict = {"queries": {}, "reference_r7": CALIBRATION_REF_R7}
+    out: dict = {
+        "queries": {},
+        "reference_r7": CALIBRATION_REF_R7,
+        "sf_dir": sf_dir,
+    }
     for name in CALIBRATION_QUERIES:
         settle(spark)
         samples = _measure(spark, QUERIES[name], sf_dir, runs)
         out["queries"][name] = round(statistics.median(samples), 3)
-    ratios = sorted(
-        out["queries"][n] / CALIBRATION_REF_R7[n] for n in CALIBRATION_QUERIES
-    )
-    out["drift_ratio"] = round(ratios[len(ratios) // 2], 3)
-    out["note"] = (
-        "median per-anchor today/r7 ratio; suite totals divide by this "
-        "for cross-round reads (sf0.1 anchors only)"
-    )
+    if os.path.basename(sf_dir.rstrip("/")) == "sf0.1":
+        ratios = sorted(
+            out["queries"][n] / CALIBRATION_REF_R7[n]
+            for n in CALIBRATION_QUERIES
+        )
+        out["drift_ratio"] = round(ratios[len(ratios) // 2], 3)
+        out["note"] = (
+            "median per-anchor today/r7 ratio; suite totals divide by "
+            "this for cross-round reads (sf0.1 anchors only)"
+        )
+    else:
+        out["drift_ratio"] = None
+        out["note"] = (
+            "reference medians are sf0.1-only; drift_ratio omitted at "
+            f"{os.path.basename(sf_dir.rstrip('/'))} (ADVICE r8)"
+        )
     with open(out_path, "w") as fh:
         json.dump(out, fh)
     spark.stop()
@@ -513,7 +536,14 @@ def child_skew_probe(out_path: str) -> None:
     # 5 samples (not the suite's 3): these long-window cells justify
     # the tier's headline numbers and kept failing their own spread
     # gate at 3 (r7: q167/q168 spread_ok false) — VERDICT r7 item 5.
-    probe_runs = int(os.environ.get("SPARK_GRAFT_SKEW_PROBE_RUNS", "5"))
+    # SPARK_GRAFT_SKEW_PROBE_RUNS, falling back to the older
+    # SPARK_GRAFT_PROBE_RUNS name prior rounds' protocol used for both
+    # probes (ADVICE r8: the rename silently changed only one of them)
+    probe_runs = int(
+        os.environ.get("SPARK_GRAFT_SKEW_PROBE_RUNS")
+        or os.environ.get("SPARK_GRAFT_PROBE_RUNS")
+        or "5"
+    )
     out: dict = {
         "rows": SKEW_PROBE_ROWS,
         "hot_share": round(1.0 - 1.0 / SKEW_ONE_IN, 3),
@@ -569,6 +599,7 @@ def _run_child(args: list[str]) -> None:
     shouldn't lose the whole round's bench), then fail loudly. Retried
     invocations are recorded in CHILD_RETRIES → payload["child_retries"]."""
     cmd = [sys.executable, os.path.abspath(__file__)] + args
+    first_rc = None  # bound on the attempt-1 failure path (ADVICE r8)
     for attempt in (1, 2):
         r = subprocess.run(cmd, stdout=subprocess.DEVNULL)
         if r.returncode == 0:

@@ -234,7 +234,16 @@ def rolling_time_agg_auto(
     switch, which at 100 TB means everyone who didn't gets the
     straggler). Identical output either way; only the physical plan
     changes. ``bucket_us`` defaults to 4 frame-widths (the measured
-    halo-replication sweet spot, plans/sessions.py)."""
+    halo-replication sweet spot, plans/sessions.py).
+
+    NOTE (ADVICE r8): the estimate is an EAGER Spark action at
+    DataFrame-construction time — one two-column scan of 1/16 of the
+    input plus a tiny aggregate. On a parquet scan that is negligible,
+    but when ``events`` is a derived pipeline its full upstream lineage
+    is recomputed (uncached) for the estimate: materialize or persist
+    derived inputs before calling an ``*_auto`` entry point, or call
+    :func:`choose_rolling_plan` yourself on the cheap base table and
+    dispatch manually."""
     plan, _ = choose_rolling_plan(
         events,
         part_col=part_col,

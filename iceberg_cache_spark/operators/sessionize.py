@@ -484,7 +484,10 @@ def sessionize_auto(
     :func:`sessionize_default` on well-distributed keys and
     :func:`sessionize_chunked` when one key would serialize the window
     task. Output is bit-identical either way (property-tested), so
-    the estimator steers only cost."""
+    the estimator steers only cost. The estimate is an EAGER action at
+    construction time that recomputes a derived input's lineage
+    (ADVICE r8) — persist derived inputs first, or dispatch manually
+    via ``choose_rolling_plan``; see ``rolling_time_agg_auto``."""
     from iceberg_cache_spark.operators.rolling import choose_rolling_plan
 
     plan, _ = choose_rolling_plan(
@@ -519,7 +522,8 @@ def session_funnel_auto(
     sample_one_in: int = 16,
 ) -> DataFrame:
     """Skew-adaptive ordered funnel: same selector, same bit-identical
-    output contract on both branches."""
+    output contract on both branches. Same eager-estimate caveat as
+    ``sessionize_auto`` — persist derived inputs before calling."""
     from iceberg_cache_spark.operators.rolling import choose_rolling_plan
 
     plan, _ = choose_rolling_plan(

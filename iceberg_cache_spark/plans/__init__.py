@@ -8,19 +8,22 @@ oracle runs on the same parquet tables.
 Iteration-order contract: the driver verifies the first ~50 entries in
 registry iteration order each round and stops. The registry is ordered
 so that, across rounds, every query accumulates a driver CORRECTNESS
-row, freshest-evidence-last (round-8 protocol — VERDICT r7 items 1–3):
+row, freshest-evidence-last (round-9 protocol, generalized from the
+r6–r8 hand-built tiers):
 
-1. HEAD_R8: q153/q166 (the only driver-red pair, carrying the r8
-   prefix-sum oracle rewrite that needs its first green), then the
-   three one-construct diagnostic probes q169–q171 (so a residual red
-   self-localizes), then the new q172 auto-plan query,
-2. the stale-r5 tier: names whose freshest hash evidence is round 5
-   (r6 re-certified the r3 tier, r7 the r4 tier), MINUS the four
-   DEFER_R8 names that keep tiers 0–1 within the driver's ~50-row
-   window (ADVICE r7: r7's 61-entry tier-0/1 silently dropped ~11
-   re-certifications) — tests/test_round3_fixes.py asserts the fit,
-3. DEFER_R8 (stale-r5 names rolling to round 9), then fresher
-   oracle-matched names (r6/r7 evidence),
+1. HEAD_R9: the four rows the r8 driver left red — q153/q166/q172 and
+   the q170 probe, all on the one DECIMAL-cast construct replaced this
+   round by the portable BIGINT-cents derivation — lead so the fix is
+   certified first,
+2. oracle-matched names with no driver row yet (new queries need a
+   first green),
+3. every other oracle-matched name, STALEST driver evidence first:
+   sorted by the latest round that hash-certified the name (ascending,
+   registry order as tiebreak). The ~50-row window therefore always
+   re-certifies the oldest evidence, and names past the window are by
+   construction the freshest — they roll forward automatically, which
+   retires the per-round DEFER_R{N} bookkeeping (ADVICE r7's window-fit
+   concern falls out of the sort instead of a hand-built set),
 4. rows-only queries LAST: all carry their `no_oracle` rows
    (r6 burned 6 of 50 slots confirming the driver cannot hash-check
    them); they spend no further driver slots.
@@ -166,6 +169,8 @@ HEAD_R8 = (
 # ADVICE r7: round 7 oversized the tiers to 61 and ~11 stale names
 # silently missed re-certification). All four already carry TWO green
 # driver rows (r2 + r5), so they are the lowest-risk names to roll.
+# Historical (r8 audit trail): the r9 freshness-rank ordering below
+# re-certifies these four automatically (their freshest row is r5).
 DEFER_R8 = frozenset(
     {
         "q100_string_agg",
@@ -175,30 +180,45 @@ DEFER_R8 = frozenset(
     }
 )
 
+# Round-9 head: the four rows the r8 driver left red — all on ONE
+# construct, the double→DECIMAL(18,2) value cast, replaced this round
+# by the portable BIGINT-cents derivation (plans/sessions.py). q170 is
+# the one-construct probe now carrying the replacement derivation; a
+# green quartet certifies the three-round investigation closed.
+HEAD_R9 = (
+    "q153_rolling_window",
+    "q166_rolling_window_chunked",
+    "q170_decimal_cast_probe",
+    "q172_rolling_window_auto",
+)
 
-def _priority(name: str) -> tuple[int, int]:
+
+def _priority(name: str) -> tuple[int, int, int]:
+    """Round-9 protocol, generalized: freshness-rank rotation.
+
+    (0) HEAD_R9 — the driver-red rows carrying this round's fix;
+    (1) oracle-matched names with NO driver row yet (new queries need
+        their first green);
+    (2) every other oracle-matched name, STALEST driver evidence
+        first (freshest certifying round ascending, registry order as
+        tiebreak) — so the driver's ~50-row window always re-certifies
+        the names whose hash evidence is oldest, and every name keeps
+        accumulating rows round-robin without hand-built DEFER sets
+        (the r7/r8 window-fit bookkeeping falls out automatically:
+        names past the window are by construction the freshest and
+        roll to the next round);
+    (3) rows-only names dead last — all carry their `no_oracle` rows;
+        they spend no driver slots.
+    """
     order = list(QUERIES).index(name)
-    certified = (
-        DRIVER_VERIFIED_R1
-        | DRIVER_VERIFIED_R2
-        | DRIVER_VERIFIED_R3
-        | DRIVER_VERIFIED_R4
-        | DRIVER_VERIFIED_R5
-        | DRIVER_VERIFIED_R6
-        | DRIVER_VERIFIED_R7
-    )
-    fresh = DRIVER_VERIFIED_R6 | DRIVER_VERIFIED_R7
-    if name in HEAD_R8:
-        return (0, HEAD_R8.index(name) - len(QUERIES))
+    if name in HEAD_R9:
+        return (0, HEAD_R9.index(name), order)
     if name not in ORACLE:
-        return (5, order)  # rows-only: all no_oracle rows exist; no slots
-    if name not in certified:
-        return (1, order)  # new this round: needs a first driver row
-    if name in DRIVER_VERIFIED_R5 and name not in fresh:
-        if name in DEFER_R8:
-            return (3, order)  # rolls to round 9 (window-fit, see above)
-        return (2, order)  # stalest hash evidence: r5-certified, not since
-    return (4, order)  # r6/r7-fresh
+        return (3, 0, order)
+    freshest = _FRESHEST_ROUND.get(name)
+    if freshest is None:
+        return (1, 0, order)  # new this round: needs a first driver row
+    return (2, freshest, order)
 
 
 # Names the round-5 driver verified (CORRECTNESS_r05.json): 48 hash-green
@@ -278,6 +298,51 @@ DRIVER_VERIFIED_R7 = frozenset(
 )
 
 
+# Names the round-8 driver hash-verified green (CORRECTNESS_r08.json:
+# 46 hash rows — the whole stale-r5 tier re-certified plus first-green
+# rows for the q169/q171 probes; q153/q166/q170/q172 stayed red on the
+# DECIMAL-cast construct, since replaced — they re-lead via HEAD_R9).
+DRIVER_VERIFIED_R8 = frozenset(
+    {
+        "q104_null_safe_eq", "q105_rank_fns", "q106_keep_latest",
+        "q107_stratified_sample", "q108_train_split",
+        "q109_contamination_check", "q110_repetition_ratio",
+        "q111_length_histogram", "q112_shuffle_order",
+        "q152_sessionization", "q154_normalized_dedup",
+        "q155_tfidf_top_terms", "q156_session_funnel",
+        "q169_range_frame_probe", "q171_epoch_us_probe", "q19_tpch_q3",
+        "q38_struct_map", "q39_asof_join", "q60_exact_dedup",
+        "q61_fingerprint_dedup", "q64_ngram_jaccard", "q65_token_stats",
+        "q66_quality_score", "q67_lang_id", "q68_pii_scrub",
+        "q69_quality_filter", "q70_cosine_topk", "q74_ppjoin_jaccard",
+        "q78_intersect_all", "q79_correlated_exists_ineq",
+        "q80_tumbling_window", "q81_session_window", "q82_sliding_window",
+        "q86_range_join", "q87_hypertable_rollup", "q88_count_min_sketch",
+        "q89_grouped_zscore", "q90_multimodal_features", "q91_doc_chunking",
+        "q92_pandas_udf_norm", "q93_bpe_token_stats", "q94_vocabulary",
+        "q95_sentence_udtf", "q97_random_projection", "q98_corr_covar",
+        "q99_bit_aggs",
+    }
+)
+
+
+# name -> the LATEST round whose driver run hash-certified it (the
+# freshness rank the r9 rotation sorts on; later rounds overwrite).
+_FRESHEST_ROUND: dict[str, int] = {}
+for _round, _certified in (
+    (1, DRIVER_VERIFIED_R1),
+    (2, DRIVER_VERIFIED_R2),
+    (3, DRIVER_VERIFIED_R3),
+    (4, DRIVER_VERIFIED_R4),
+    (5, DRIVER_VERIFIED_R5),
+    (6, DRIVER_VERIFIED_R6),
+    (7, DRIVER_VERIFIED_R7),
+    (8, DRIVER_VERIFIED_R8),
+):
+    for _n in _certified:
+        _FRESHEST_ROUND[_n] = _round
+
+
 def _reorder() -> None:
     ranked = sorted(QUERIES, key=_priority)
     reordered_q = {n: QUERIES[n] for n in ranked}
@@ -301,9 +366,11 @@ __all__ = [
     "DRIVER_VERIFIED_R5",
     "DRIVER_VERIFIED_R6",
     "DRIVER_VERIFIED_R7",
+    "DRIVER_VERIFIED_R8",
     "HEAD_R6",
     "DEFER_R6",
     "HEAD_R7",
     "HEAD_R8",
     "DEFER_R8",
+    "HEAD_R9",
 ]

@@ -14,8 +14,11 @@ after q153/q166 in the registry:
   row is red, the driver oracle's RANGE-offset frame implementation is
   formally indicted and expressing oracles in prefix-sum form (the r8
   `_ROLL_ORACLE` rewrite) becomes permanent policy.
-- q170: `CAST(value AS DECIMAL(18,2))` identity projection alone — the
-  only cast in the red pair's input prep.
+- q170: the value-derivation construct alone. In round 8 it ran the
+  red pair's `CAST(value AS DECIMAL(18,2))` and came back RED — the
+  answer the probe tier existed to produce (the cast, not the frame,
+  was the three-round divergence). In round 9 it carries the portable
+  `FLOOR(value * 100.0)` integer-cents replacement to certify the fix.
 - q171: `epoch_us(ts)` identity projection alone — the only time
   arithmetic in the red pair's input prep (already green inside
   q152/q167/q168 composites; this isolates it).
@@ -81,15 +84,26 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
 
 @declared(
     "q170_decimal_cast_probe",
-    """SELECT event_id, CAST(value AS DECIMAL(18,2)) AS dv
+    """SELECT event_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS dv_cents
        FROM events ORDER BY event_id""",
 )
 def q170(spark: SparkSession, sf: str) -> DataFrame:
-    """double → DECIMAL(18,2) cast in isolation — the red pair's only
-    value cast, as a bare identity projection."""
+    """The value-derivation construct in isolation. Round 8 this probe
+    ran the red pair's original `CAST(value AS DECIMAL(18,2))` as a
+    bare identity projection and came back driver-RED while q169/q171
+    were green (CORRECTNESS_r08.json) — formally indicting the
+    double→DECIMAL half-rounding rule, which differs between Spark and
+    the driver's DuckDB build (local DuckDB 1.0.0 agrees with Spark).
+    Round 9 the probe carries the REPLACEMENT derivation the whole
+    rolling tier now uses — `FLOOR(value * 100.0)` integer cents: one
+    IEEE-754 double multiply (a single operation, bit-identical on any
+    IEEE engine, immune even to FMA contraction) and an exact floor,
+    cast to BIGINT. A green row here certifies the construct the
+    q153/q166/q172 fix rests on."""
     e = T(spark, sf, "events")
     return e.select(
-        "event_id", F.col("value").cast("decimal(18,2)").alias("dv")
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("dv_cents"),
     ).orderBy("event_id")
 
 

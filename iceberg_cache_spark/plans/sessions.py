@@ -131,26 +131,34 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
 # q166 skew-chunked): the DECLARED semantics are identical, only the
 # physical decomposition differs.
 #
-# DECLARED SEMANTICS (unchanged since r5): per-event COUNT(*) and
-# SUM(dv) over the same-user inclusive [us - 1h, us] integer-µs frame,
-# peer-inclusive at ties, SQL NULL-peer-group frame for NULL us —
-# i.e. exactly `COUNT(*)/SUM(dv) OVER (PARTITION BY user_id ORDER BY
-# us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)`.
+# DECLARED SEMANTICS (value derivation revised r9, frame unchanged
+# since r5): per-event COUNT(*) and SUM(dvc) over the same-user
+# inclusive [us - 1h, us] integer-µs frame, peer-inclusive at ties,
+# SQL NULL-peer-group frame for NULL us — i.e. exactly
+# `COUNT(*)/SUM(dvc) OVER (PARTITION BY user_id ORDER BY us RANGE
+# BETWEEN 3600000000 PRECEDING AND CURRENT ROW)` where
+# `dvc = CAST(FLOOR(value * 100.0) AS BIGINT)` — integer cents.
 #
-# FORMULATION (rewritten r8): the RANGE-offset frame itself is the one
-# oracle construct that has never produced a green driver row (q153
-# red r5/r6/r7, q166 red r7 on the same text) while every plan
-# construct around it is driver-certified — q167/q168 are green on the
-# same events fixture with the same epoch_us/DECIMAL discipline, and
-# r7's independent adversarial matrix (NULL ts/users/values, exact
-# ties, ±1 µs boundary straddles, pre-epoch rows, ns-parquet,
-# .xx5-boundary casts) hash-matches this oracle's old text on DuckDB
-# 1.0.0. Conclusion: the driver's DuckDB build evaluates RANGE-offset
-# frames differently. So the oracle now computes the IDENTICAL frame
-# via the engine's own prefix-sum decomposition (operators/rolling.py
-# design) using only constructs with green driver history: GROUP BY,
-# UNION ALL, one ROWS UNBOUNDED PRECEDING cumulative window with
-# explicit ordering + tiebreak, equi-joins on non-null keys, CASE.
+# VALUE DERIVATION (rewritten r9): r8's one-construct probes settled a
+# three-round investigation — q169 (RANGE frame alone) and q171
+# (epoch_us alone) came back driver-GREEN while q170 (`CAST(value AS
+# DECIMAL(18,2))` as a bare identity projection) came back driver-RED
+# (CORRECTNESS_r08.json). The double→DECIMAL cast's half-rounding rule
+# differs between Spark and the driver's DuckDB build (local DuckDB
+# 1.0.0 agrees with Spark, which is why every local gate was green).
+# So the hash path no longer casts through DECIMAL anywhere: the value
+# enters the pipeline as BIGINT integer cents via FLOOR(value * 100.0)
+# — ONE IEEE-754 double multiply (bit-identical on any IEEE engine,
+# and a single operation, so not even FMA contraction can perturb it)
+# followed by an exact floor — and every sum stays in BIGINT end to
+# end. The output column is `sum_1h_cents BIGINT`. No engine-specific
+# rounding rule is exercised on either side.
+#
+# FORMULATION (rewritten r8): the frame is computed via the engine's
+# own prefix-sum decomposition (operators/rolling.py design) using
+# only constructs with green driver history: GROUP BY, UNION ALL, one
+# ROWS UNBOUNDED PRECEDING cumulative window with explicit ordering +
+# tiebreak, equi-joins on non-null keys, CASE.
 #   - per-(user, us) peer-group totals (GROUP BY makes peer
 #     inclusivity structural instead of relying on RANGE peer frames);
 #   - each time-group also emits a zero-weight probe at us - w - 1;
@@ -172,26 +180,26 @@ _ROLL_ORACLE = f"""WITH ev AS (
                 CASE WHEN user_id IS NULL THEN 'n'
                      ELSE 'v' || CAST(user_id AS VARCHAR) END AS uk,
                 epoch_us(ts) AS us,
-                CAST(value AS DECIMAL(18,2)) AS dv
+                CAST(FLOOR(value * 100.0) AS BIGINT) AS dvc
          FROM events),
        tg AS (
          SELECT uk, us,
                 CAST(COUNT(*) AS BIGINT) AS c,
-                CAST(SUM(COALESCE(dv, CAST(0 AS DECIMAL(18,2))))
-                     AS DECIMAL(38,2)) AS s,
-                CAST(COUNT(dv) AS BIGINT) AS cs
+                CAST(SUM(COALESCE(dvc, CAST(0 AS BIGINT)))
+                     AS BIGINT) AS s,
+                CAST(COUNT(dvc) AS BIGINT) AS cs
          FROM ev WHERE us IS NOT NULL GROUP BY uk, us),
        pts AS (
          SELECT uk, us AS t, 0 AS is_probe, c, s, cs FROM tg
          UNION ALL
          SELECT uk, us - {ROLL_US + 1} AS t, 1 AS is_probe,
-                CAST(0 AS BIGINT), CAST(0 AS DECIMAL(38,2)),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                 CAST(0 AS BIGINT)
          FROM tg),
        cum AS (
          SELECT uk, t, is_probe,
                 CAST(SUM(c) OVER w AS BIGINT) AS cum_c,
-                CAST(SUM(s) OVER w AS DECIMAL(38,2)) AS cum_s,
+                CAST(SUM(s) OVER w AS BIGINT) AS cum_s,
                 CAST(SUM(cs) OVER w AS BIGINT) AS cum_cs
          FROM pts
          WINDOW w AS (PARTITION BY uk ORDER BY t NULLS LAST, is_probe
@@ -206,14 +214,14 @@ _ROLL_ORACLE = f"""WITH ev AS (
           AND r.is_probe = 0 AND p.is_probe = 1),
        ng AS (
          SELECT uk, CAST(COUNT(*) AS BIGINT) AS n,
-                CAST(SUM(dv) AS DECIMAL(38,2)) AS sm
+                CAST(SUM(dvc) AS BIGINT) AS sm
          FROM ev WHERE us IS NULL GROUP BY uk)
        SELECT e.event_id, e.user_id,
               CAST(CASE WHEN e.us IS NULL THEN ng.n ELSE r.n END
                    AS BIGINT) AS n_1h,
               CAST(CASE WHEN e.us IS NULL THEN ng.sm
                         WHEN r.ncs > 0 THEN r.sm END
-                   AS DECIMAL(38,2)) AS sum_1h
+                   AS BIGINT) AS sum_1h_cents
        FROM ev e
        LEFT JOIN roll r ON r.uk = e.uk AND r.us = e.us
        LEFT JOIN ng ON ng.uk = e.uk AND e.us IS NULL
@@ -223,17 +231,21 @@ _ROLL_ORACLE = f"""WITH ev AS (
 @declared("q153_rolling_window", _ROLL_ORACLE)
 def q153(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user 1-hour rolling event count + value sum over integer
-    epoch-microseconds, DECIMAL-exact. Computed by prefix sums over a
-    real+boundary-probe union (``operators/rolling.py``) — NOT the
-    naive ``RANGE w PRECEDING`` sliding frame: Spark evaluates sliding
-    frames in O(n x frame_width) per partition (no retraction), which
-    the round-5 scale probe measured at x24 per x10 rows on bursty
-    sessions data (18.6 s @ 500k events vs 0.78 s @ 50k). The prefix
-    formulation is O(n log n) regardless of frame width and
-    hash-identical (same inclusive [ts-1h, ts] frame, peer-inclusive
-    RANGE semantics on both sides). Also not the events-x-events
-    self-join trap (quadratic per user). Shuffles: one window shuffle
-    on user_id + one join-back on event_id."""
+    epoch-microseconds, exact in BIGINT integer cents (r9: the value
+    enters as ``FLOOR(value * 100.0)`` — one IEEE multiply + floor,
+    bit-identical across engines; the r8 q170 probe proved the former
+    double→DECIMAL(18,2) cast half-rounds differently on the driver's
+    DuckDB). Computed by prefix sums over a real+boundary-probe union
+    (``operators/rolling.py``) — NOT the naive ``RANGE w PRECEDING``
+    sliding frame: Spark evaluates sliding frames in O(n x frame_width)
+    per partition (no retraction), which the round-5 scale probe
+    measured at x24 per x10 rows on bursty sessions data (18.6 s @
+    500k events vs 0.78 s @ 50k). The prefix formulation is O(n log n)
+    regardless of frame width and hash-identical (same inclusive
+    [ts-1h, ts] frame, peer-inclusive RANGE semantics on both sides).
+    Also not the events-x-events self-join trap (quadratic per user).
+    Shuffles: one window shuffle on user_id + one join-back on
+    event_id."""
     from iceberg_cache_spark.operators.rolling import rolling_time_agg
 
     e = T(spark, sf, "events")
@@ -241,14 +253,14 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.col("value").cast("decimal(18,2)").alias("dv"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("dv"),
     )
-    r = rolling_time_agg(ev, ROLL_US, cnt_out="n_1h", sum_out="sum_1h")
+    r = rolling_time_agg(ev, ROLL_US, cnt_out="n_1h", sum_out="sum_1h_cents")
     return r.select(
         "event_id",
         "user_id",
         F.col("n_1h").cast("bigint").alias("n_1h"),
-        F.col("sum_1h").cast("decimal(38,2)").alias("sum_1h"),
+        F.col("sum_1h_cents").cast("bigint").alias("sum_1h_cents"),
     ).orderBy("event_id")
 
 
@@ -268,7 +280,7 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     skew gate's regime (one user = 86% of a 100 TB stream) it is the
     difference between a parallel plan and one straggler task sorting
     86 TB. Declared oracle is literally q153's — exactness of the
-    decomposition is part of the contract (bit-identical DECIMAL
+    decomposition is part of the contract (bit-identical BIGINT-cents
     sums, SQL NULL-peer-group frames for NULL ts)."""
     from iceberg_cache_spark.operators.rolling import rolling_time_agg_chunked
 
@@ -277,16 +289,16 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.col("value").cast("decimal(18,2)").alias("dv"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("dv"),
     )
     r = rolling_time_agg_chunked(
-        ev, ROLL_US, ROLL_BUCKET_US, cnt_out="n_1h", sum_out="sum_1h"
+        ev, ROLL_US, ROLL_BUCKET_US, cnt_out="n_1h", sum_out="sum_1h_cents"
     )
     return r.select(
         "event_id",
         "user_id",
         F.col("n_1h").cast("bigint").alias("n_1h"),
-        F.col("sum_1h").cast("decimal(38,2)").alias("sum_1h"),
+        F.col("sum_1h_cents").cast("bigint").alias("sum_1h_cents"),
     ).orderBy("event_id")
 
 
@@ -313,16 +325,16 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.col("value").cast("decimal(18,2)").alias("dv"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("dv"),
     )
     r = rolling_time_agg_auto(
-        ev, ROLL_US, ROLL_BUCKET_US, cnt_out="n_1h", sum_out="sum_1h"
+        ev, ROLL_US, ROLL_BUCKET_US, cnt_out="n_1h", sum_out="sum_1h_cents"
     )
     return r.select(
         "event_id",
         "user_id",
         F.col("n_1h").cast("bigint").alias("n_1h"),
-        F.col("sum_1h").cast("decimal(38,2)").alias("sum_1h"),
+        F.col("sum_1h_cents").cast("bigint").alias("sum_1h_cents"),
     ).orderBy("event_id")
 
 

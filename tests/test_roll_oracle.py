@@ -1,14 +1,18 @@
-"""Pin the r8 `_ROLL_ORACLE` rewrite to the declared RANGE-frame
+"""Pin the prefix-sum `_ROLL_ORACLE` to the declared RANGE-frame
 semantics.
 
-Round-8 context: q153/q166 were the only driver-red rows for three
-rounds while hash-matching locally — the divergence was isolated to
-the oracle's `RANGE <offset> PRECEDING` window frame, the single
-construct in the corpus without green driver history (VERDICT r7).
-The oracle was therefore rewritten as a prefix-sum decomposition in
-driver-certified constructs. These tests pin that the NEW oracle text
-computes EXACTLY what the old RANGE-frame text declared, in DuckDB,
-on:
+History: q153/q166 were the only driver-red rows for three rounds
+while hash-matching locally. Round 7's hypothesis blamed the `RANGE
+<offset> PRECEDING` frame and round 8 rewrote the oracle as a
+prefix-sum decomposition — but the r8 one-construct probes then
+exonerated the frame (q169 GREEN) and indicted the
+double→DECIMAL(18,2) value cast instead (q170 RED): the driver's
+DuckDB half-rounds that cast differently from Spark. Round 9 replaced
+the cast with BIGINT integer cents (`FLOOR(value * 100.0)` — IEEE
+bit-identical on both engines). The prefix rewrite stays (it is
+better-tested and avoids an O(n×width) frame on the Spark side);
+these tests keep pinning that it computes EXACTLY what the direct
+RANGE-frame text declares, in DuckDB, on:
 
 - the standard sf0.001 / sf0.01 fixtures,
 - the NULL-injected variants (NULL ts / user_id / value),
@@ -35,14 +39,20 @@ import pytest
 
 from iceberg_cache_spark.plans.sessions import ROLL_US, _ROLL_ORACLE
 
-# the r5–r7 oracle text: the declared semantics, verbatim
+# the declared semantics in direct RANGE-frame form, verbatim.
+# r9: the value derivation is BIGINT integer cents (FLOOR(value*100.0)
+# — one IEEE multiply + exact floor) instead of the r5–r8
+# CAST(value AS DECIMAL(18,2)), whose half-rounding the r8 q170 probe
+# proved diverges between Spark and the driver's DuckDB build. The
+# frame itself is unchanged; this test keeps pinning that the
+# prefix-sum _ROLL_ORACLE computes exactly this frame.
 _OLD_ORACLE = f"""WITH ev AS (
          SELECT event_id, user_id, epoch_us(ts) AS us,
-                CAST(value AS DECIMAL(18,2)) AS dv
+                CAST(FLOOR(value * 100.0) AS BIGINT) AS dvc
          FROM events)
        SELECT event_id, user_id,
               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
-              CAST(SUM(dv) OVER w AS DECIMAL(38,2)) AS sum_1h
+              CAST(SUM(dvc) OVER w AS BIGINT) AS sum_1h_cents
        FROM ev
        WINDOW w AS (PARTITION BY user_id ORDER BY us
                     RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)
@@ -135,6 +145,67 @@ def test_new_oracle_matches_declared_semantics_adversarial(tmp_path):
     _assert_same(p)
 
 
+def test_cents_derivation_engine_portable(tmp_path):
+    """The r9 fix's load-bearing claim: `CAST(FLOOR(value * 100.0) AS
+    BIGINT)` is bit-identical between Spark and DuckDB on ANY double —
+    one IEEE-754 multiply (a single operation, immune to FMA
+    contraction) plus an exact floor. Exercise the adversarial ranges
+    where the old DECIMAL cast's half-rounding diverged: exact .xx5
+    representations, values just under/over cent boundaries, negatives,
+    tiny and large magnitudes, and random doubles."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            np.round(rng.normal(0, 100, 2000), 2),
+            rng.uniform(-1000, 1000, 2000),
+            # exact .xx5 half-cent boundaries, both signs
+            (np.arange(-500, 500) + 0.5) / 100.0,
+            # one-ulp straddles of an exact cent boundary
+            np.nextafter(np.arange(-50, 50) / 100.0 * 100, np.inf) / 100.0,
+            np.nextafter(np.arange(-50, 50) / 100.0 * 100, -np.inf) / 100.0,
+            rng.uniform(-1e12, 1e12, 500),
+            rng.uniform(-1e-6, 1e-6, 500),
+        ]
+    )
+    n = len(vals)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    p = str(tmp_path / "vals.parquet")
+    pq.write_table(tbl, p)
+
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            "SELECT event_id, CAST(FLOOR(value * 100.0) AS BIGINT) "
+            f"FROM read_parquet('{p}')"
+        ).fetchall()
+    )
+    con.close()
+
+    spark = SparkSession.builder.master("local[2]").getOrCreate()
+    got = {
+        r.event_id: r.c
+        for r in spark.read.parquet(p)
+        .select(
+            "event_id",
+            F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("c"),
+        )
+        .collect()
+    }
+    assert got == duck
+
+
 def test_new_oracle_avoids_range_offset_frames():
     """The whole point of the rewrite: no RANGE <offset> PRECEDING
     construct may appear in the oracle text (ROWS UNBOUNDED PRECEDING
@@ -142,3 +213,6 @@ def test_new_oracle_avoids_range_offset_frames():
     up = _ROLL_ORACLE.upper()
     assert "RANGE BETWEEN" not in up
     assert "ROWS UNBOUNDED PRECEDING" in up
+    # r9: the q170-indicted double->DECIMAL cast may not reappear on
+    # the hash path either — the pipeline is BIGINT cents end to end
+    assert "DECIMAL" not in up

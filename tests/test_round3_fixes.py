@@ -51,86 +51,51 @@ def test_q96_emits_only_scalar_columns(spark, sf_dir):
 
 
 def test_registry_orders_stalest_evidence_first():
-    """Round-8 protocol (VERDICT r7 items 1–3): HEAD_R8 leads (the red
-    rolling pair with the rewritten oracle, then the three diagnostic
-    probes, then the auto query), then any other new oracle-matched
-    name, then the STALEST hash evidence — round-5-certified names not
-    re-certified since, minus DEFER_R8 — then the deferred names, then
-    r6/r7-fresh, and rows-only names LAST (all carry their `no_oracle`
-    rows; they spend no driver slots)."""
-    from iceberg_cache_spark.plans import (
-        DRIVER_VERIFIED_R1,
-        DRIVER_VERIFIED_R2,
-        DRIVER_VERIFIED_R3,
-        DRIVER_VERIFIED_R4,
-        DRIVER_VERIFIED_R5,
-        DRIVER_VERIFIED_R6,
-        DRIVER_VERIFIED_R7,
-        DEFER_R8,
-        HEAD_R8,
-        ORACLE,
-        QUERIES,
-    )
+    """Round-9 protocol: HEAD_R9 leads (the four r8-red rows carrying
+    the BIGINT-cents fix), then oracle-matched names with no driver
+    row yet, then every other oracle-matched name sorted stalest
+    driver evidence FIRST (freshest certifying round ascending), and
+    rows-only names dead LAST (all carry their `no_oracle` rows; they
+    spend no driver slots)."""
+    import iceberg_cache_spark.plans as P
+    from iceberg_cache_spark.plans import HEAD_R9, ORACLE, QUERIES
 
     names = list(QUERIES)
-    certified = (
-        DRIVER_VERIFIED_R1
-        | DRIVER_VERIFIED_R2
-        | DRIVER_VERIFIED_R3
-        | DRIVER_VERIFIED_R4
-        | DRIVER_VERIFIED_R5
-        | DRIVER_VERIFIED_R6
-        | DRIVER_VERIFIED_R7
-    )
-    fresh_set = DRIVER_VERIFIED_R6 | DRIVER_VERIFIED_R7
-    head = list(HEAD_R8)
+    freshest = P._FRESHEST_ROUND
+    head = list(HEAD_R9)
     new_unverified = [
-        n for n in names if n in ORACLE and n not in certified and n not in head
-    ]
-    r5_stale = [
         n
         for n in names
-        if n in ORACLE
-        and n in DRIVER_VERIFIED_R5
-        and n not in fresh_set
-        and n not in head
-        and n not in DEFER_R8
+        if n in ORACLE and n not in freshest and n not in head
     ]
-    deferred = [n for n in names if n in DEFER_R8]
     rows_only = [n for n in names if n not in ORACLE]
-    tail = [
+    rotation = [
         n
         for n in names
-        if n not in head
-        and n not in new_unverified
-        and n not in r5_stale
-        and n not in deferred
-        and n not in rows_only
+        if n not in head and n not in new_unverified and n not in rows_only
     ]
     k0 = len(head)
     assert names[:k0] == head
     k1 = k0 + len(new_unverified)
     assert names[k0:k1] == new_unverified
-    k2 = k1 + len(r5_stale)
-    assert names[k1:k2] == r5_stale
-    k3 = k2 + len(deferred)
-    assert names[k2:k3] == deferred
-    k4 = k3 + len(tail)
-    assert names[k3:k4] == tail
+    k2 = k1 + len(rotation)
+    assert names[k1:k2] == rotation
+    # within the rotation tier: staleness is monotonically
+    # non-decreasing — the window always re-certifies the oldest rows
+    ranks = [freshest[n] for n in rotation]
+    assert ranks == sorted(ranks), (
+        "rotation tier is not stalest-evidence-first"
+    )
     # rows-only names are dead last: every driver slot goes to a
     # hash-checkable query (VERDICT r6 item 3 — r6 burned 6 of 50
     # slots confirming the driver cannot check them)
-    assert names[k4:] == rows_only
+    assert names[k2:] == rows_only
     assert all(n in ORACLE for n in names[:50]), (
         "a rows-only name leaked into the driver's ~50-row window"
     )
-    # Window-fit (ADVICE r7): tiers 0–1 must not exceed the driver's
-    # ~50-row window — r7's 61-entry tier-0/1 silently dropped ~11
-    # re-certifications. DEFER_R8 exists precisely to keep this true.
-    assert len(head) + len(new_unverified) + len(r5_stale) <= 50, (
-        "tiers 0-1 overflow the driver's ~50-row verification window; "
-        "grow DEFER_R8"
-    )
+    # the must-certify tiers (head + first-row names) never overflow
+    # the window; the rotation tier self-truncates by construction
+    assert len(head) + len(new_unverified) <= 50
 
 
 # -- 3. grouped z-score: relational default ------------------------------

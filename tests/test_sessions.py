@@ -66,10 +66,11 @@ def test_rolling_window_frame_edges(spark, tmp_path):
     30-min one: 90-60=30)."""
     df = _events(spark, [(0, 1, 0, 1.5), (1, 1, 30, 2.5), (2, 1, 90, 3.0)])
     got = {
-        r.event_id: (r.n_1h, float(r.sum_1h))
+        r.event_id: (r.n_1h, r.sum_1h_cents)
         for r in _run_session(spark, df, tmp_path, "q153_rolling_window").collect()
     }
-    assert got == {0: (1, 1.5), 1: (2, 4.0), 2: (2, 5.5)}
+    # sums are BIGINT integer cents (r9): 1.5 -> 150, 2.5 -> 250, 3.0 -> 300
+    assert got == {0: (1, 150), 1: (2, 400), 2: (2, 550)}
 
 
 def test_rolling_window_null_values_match_declared_oracle(spark, tmp_path):
@@ -112,11 +113,11 @@ def test_rolling_window_null_values_match_declared_oracle(spark, tmp_path):
     pq.write_table(tbl, str(d / "events.parquet"))
     res = QUERIES["q153_rolling_window"](spark, str(d))
     compare(res, ORACLE["q153_rolling_window"], str(d))
-    got = {r.event_id: (r.n_1h, r.sum_1h) for r in res.collect()}
+    got = {r.event_id: (r.n_1h, r.sum_1h_cents) for r in res.collect()}
     assert got[0] == (1, None) and got[1] == (2, None)  # all-NULL frames
     assert got[3] == (1, None)
     assert got[4] == (1, None) and got[5] == (2, None)  # all-NULL user
-    assert float(got[2][1]) == 2.5 and got[2][0] == 3
+    assert got[2] == (3, 250)  # 2.5 -> 250 integer cents
 
 
 def _planted_embeddings(spark):
