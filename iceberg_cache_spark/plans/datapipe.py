@@ -1067,3 +1067,149 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@declared(
+    "q174_span_excision",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       base AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+       spans AS (
+         SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS i,
+                array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+{SPAN_K} AS BIGINT)],
+                                ' ') AS span
+         FROM base,
+              UNNEST(range(greatest(n_tokens - {SPAN_K - 1}, 1))) AS u(i)),
+       f AS (SELECT * FROM spans WHERE span <> ''),
+       reg AS (
+         SELECT span,
+                COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS no
+         FROM f GROUP BY span
+         HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DF}
+         ORDER BY nd DESC, no DESC, span LIMIT {SPAN_TOP}),
+       hits AS (
+         SELECT s.doc_id, s.n_tokens, s.i,
+                LEAST(s.i + {SPAN_K}, s.n_tokens) - 1 AS fin
+         FROM f s JOIN reg r ON s.span = r.span),
+       ord AS (
+         SELECT doc_id, n_tokens, i, fin,
+                MAX(fin) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         FROM hits),
+       isl AS (
+         SELECT doc_id, n_tokens, i, fin,
+                CAST(SUM(CASE WHEN pm IS NULL OR i > pm THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl_id
+         FROM ord),
+       m AS (
+         SELECT doc_id, isl_id, MAX(n_tokens) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS occ,
+                MIN(i) AS s, MAX(fin) AS e
+         FROM isl GROUP BY doc_id, isl_id)
+       SELECT doc_id,
+              CAST(SUM(occ) AS BIGINT) AS n_occ,
+              CAST(COUNT(*) AS BIGINT) AS n_islands,
+              CAST(SUM(e - s + 1) AS BIGINT) AS tokens_masked,
+              CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+              CAST((SUM(e - s + 1) * 1000000) // MAX(n_tokens)
+                   AS BIGINT) AS masked_ratio_e6
+       FROM m GROUP BY doc_id ORDER BY doc_id""",
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-dedup APPLY accounting (round 9) — the stage between
+    q159's repeated-span REGISTRY and an actual excision rewrite: for
+    every document that contains at least one registry span, how many
+    hits land, how many MERGED excision islands they form (overlapping
+    same-length spans coalesce — the interval-union step real excision
+    needs, which q118's per-doc exposure ratio doesn't do), and how
+    many tokens excision would delete (exact union length, integer-e6
+    ratio). Completes the span tier's find→decide→apply story the way
+    q150/q151 complete the doc-level tiers.
+
+    Plan shape at 100 TB: the exploded-span frame is computed twice
+    (registry aggregate, then hit probe) — recomputation is the right
+    call at scale since explode is map-side-free while persisting the
+    exploded corpus would spill multiples of the input; the {TOP}-row
+    registry broadcasts to the probe join; the interval merge is two
+    ROWS-frame windows partitioned by doc_id (task size bounded by ONE
+    document's hits) followed by two co-partitioned hash aggregates.
+    No global sort before the final presentation ORDER BY; NULL doc_id
+    rows form one ordinary window/group key on both engines (no
+    equi-join on the nullable key anywhere)."""
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", _text_tokens(F.col("text")).alias("t"))
+    base = toks.select(
+        "doc_id", "t", F.size("t").cast("bigint").alias("n_tokens")
+    )
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("t")) - SPAN_K, F.lit(0))
+    )
+    spans = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("bigint").alias("i"),
+                    F.array_join(
+                        F.slice(F.col("t"), i + 1, SPAN_K), " "
+                    ).alias("span"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id", "n_tokens", F.col("s.i").alias("i"), F.col("s.span").alias("span")
+    ).filter(F.col("span") != "")
+    reg = (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct(F.col("doc_id")).alias("nd"),
+            F.count("*").alias("no"),
+        )
+        .filter(F.col("nd") >= SPAN_MIN_DF)
+        .orderBy(F.col("nd").desc(), F.col("no").desc(), "span")
+        .limit(SPAN_TOP)
+        .select("span")
+    )
+    hits = spans.join(F.broadcast(reg), "span").select(
+        "doc_id",
+        "n_tokens",
+        "i",
+        (F.least(F.col("i") + SPAN_K, F.col("n_tokens")) - 1).alias("fin"),
+    )
+    w_ord = W.partitionBy("doc_id").orderBy("i")
+    pm = F.max("fin").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(pm.isNull() | (F.col("i") > pm), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    m = isl.groupBy("doc_id", "isl_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("occ"),
+        F.min("i").alias("s"),
+        F.max("fin").alias("e"),
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_occ"),
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("tokens_masked"),
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "masked_ratio_e6",
+            F.expr("CAST((tokens_masked * 1000000) DIV n_tokens AS BIGINT)"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+q174.__doc__ = q174.__doc__.replace("{TOP}", str(SPAN_TOP))

@@ -255,3 +255,53 @@ def test_tfidf_ranks_distinctive_terms(spark, tmp_path):
     # 'common' appears in every doc: idf = ln(1) = 0 -> never outranks
     zero = [r for r in out if r.term == "common"]
     assert all(r.score == 0.0 for r in zero)
+
+
+def test_span_excision_islands_planted(spark, tmp_path):
+    """q174 planted semantics: overlapping registry-span hits merge
+    into ONE excision island; disjoint repeats stay separate islands;
+    the masked token count is the exact interval-union length. Fixture
+    (SPAN_K=5, MIN_DF=2):
+      - docs 0/1 share 'a b c d e' -> registry; doc 0 also chains
+        'b c d e f' with docs 3/4 -> doc 0's two hits overlap into one
+        island covering tokens 0..5 (6 masked of 8);
+      - doc 2 contains 'a b c d e' twice, disjoint -> 2 islands,
+        10 masked of 15.
+    Hash-checked against the declared DuckDB oracle on the same parquet
+    plus hand asserts on the planted rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES
+    from tests.oracle import compare
+
+    texts = [
+        "a b c d e f g h",                    # 0
+        "a b c d e x y z",                    # 1
+        "z z a b c d e q q q a b c d e",      # 2
+        "a b c d e f",                        # 3 (wait-free: has both spans)
+        "b c d e f x",                        # 4
+        "totally unrelated words here only",  # 5: no hits -> absent
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "source": pa.array(["t"] * len(texts)),
+        }
+    )
+    d = tmp_path / "spanfix"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    res = QUERIES["q174_span_excision"](spark, str(d))
+    compare(res, ORACLE["q174_span_excision"], str(d))
+    got = {
+        r.doc_id: (r.n_occ, r.n_islands, r.tokens_masked, r.n_tokens,
+                   r.masked_ratio_e6)
+        for r in res.collect()
+    }
+    assert got[0] == (2, 1, 6, 8, 750000)    # overlap merged
+    assert got[2] == (2, 2, 10, 15, 666666)  # disjoint repeats
+    assert 5 not in got                       # clean doc emits no row
