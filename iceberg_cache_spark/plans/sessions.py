@@ -562,3 +562,138 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
         "reached_click",
         "reached_purchase",
     ).orderBy("user_id", "session_id")
+
+
+# hourly gap-fill bucket width (== the rolling frame width)
+GAPFILL_H_US = ROLL_US
+
+_GAPFILL_ORACLE = f"""WITH ev AS (
+         SELECT CASE WHEN user_id IS NULL THEN 'n'
+                     ELSE 'v' || CAST(user_id AS VARCHAR) END AS uk,
+                user_id, event_id, epoch_us(ts) AS us,
+                CAST(FLOOR(value * 100.0) AS BIGINT) AS dvc
+         FROM events WHERE ts IS NOT NULL),
+       evb AS (
+         SELECT *, CAST((us - ((us % {GAPFILL_H_US} + {GAPFILL_H_US})
+                               % {GAPFILL_H_US})) // {GAPFILL_H_US}
+                        AS BIGINT) AS b
+         FROM ev),
+       obs AS (
+         SELECT uk, b, CAST(COUNT(*) AS BIGINT) AS n_obs
+         FROM evb GROUP BY uk, b),
+       lastv AS (
+         SELECT uk, b, dvc AS v_last FROM (
+           SELECT uk, b, dvc,
+                  ROW_NUMBER() OVER (PARTITION BY uk, b
+                       ORDER BY us DESC, event_id DESC) AS rn
+           FROM evb WHERE dvc IS NOT NULL) WHERE rn = 1),
+       ub AS (
+         SELECT uk, MIN(user_id) AS user_id,
+                MIN(b) AS b0, MAX(b) AS b1
+         FROM evb GROUP BY uk),
+       series AS (
+         SELECT uk, user_id,
+                CAST(UNNEST(generate_series(b0, b1)) AS BIGINT) AS b
+         FROM ub),
+       j AS (
+         SELECT s.uk, s.user_id, s.b, o.n_obs, l.v_last
+         FROM series s
+         LEFT JOIN obs o ON o.uk = s.uk AND o.b = s.b
+         LEFT JOIN lastv l ON l.uk = s.uk AND l.b = s.b),
+       g AS (
+         SELECT uk, user_id, b, n_obs, v_last,
+                CAST(COUNT(v_last) OVER (PARTITION BY uk ORDER BY b
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+         FROM j)
+       SELECT user_id, b AS bucket_h,
+              CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+              CAST(MAX(v_last) OVER (PARTITION BY uk, grp ORDER BY b
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v_cents_locf
+       FROM g ORDER BY user_id, bucket_h"""
+
+
+@declared("q175_gapfill_locf", _GAPFILL_ORACLE)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series densification (round 9): per-user HOURLY buckets
+    from the user's first to last event with gaps filled and the value
+    carried forward — the `time_bucket_gapfill` + LOCF operator every
+    hypertable/monitoring pipeline ships, and the missing step between
+    raw events and fixed-grid models (forecasting windows, per-hour
+    joins). Emits (user_id, bucket_h, n_obs, v_cents_locf): n_obs = 0
+    on gap rows; the carried value is the bucket's LAST non-NULL-value
+    observation (by event time, event_id tiebreak) in BIGINT integer
+    cents (the r9 portable derivation — no engine rounding rule on the
+    hash path).
+
+    LOCF is computed with the portable two-window grouping trick —
+    cumulative COUNT(v) assigns each gap row to its predecessor
+    observation's group, running MAX inside (key, group) carries the
+    single non-NULL value — instead of `last_value(... IGNORE NULLS)`,
+    which not every engine build supports (same certified-construct
+    discipline as the rolling oracle). NULL semantics: NULL-ts events
+    are excluded (no bucket is defined for them — documented, tested);
+    a NULL user_id is one ordinary series via the `uk` surrogate key,
+    so every join stays a plain non-null equi-join.
+
+    Plan shape at 100 TB: one hash-agg per (user, bucket), a
+    row_number window bounded by ONE bucket of one user, the series
+    explode bounded by the key's TIME SPAN (not its row count — a
+    hot user densifies to the same ~N-hour grid as a cold one, so the
+    gapfill itself is skew-immune), two broadcast-or-shuffle equi-joins
+    on (uk, bucket), and two LOCF windows partitioned by user. The
+    presentation sort is the only global exchange."""
+    e = T(spark, sf, "events")
+    uk = F.when(F.col("user_id").isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), F.col("user_id").cast("string"))
+    )
+    ev = e.select(
+        uk.alias("uk"),
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("dvc"),
+    ).filter(F.col("us").isNotNull())
+    evb = ev.withColumn(
+        "b",
+        F.expr(
+            f"CAST((us - pmod(us, {GAPFILL_H_US})) DIV {GAPFILL_H_US} "
+            "AS BIGINT)"
+        ),
+    )
+    obs = evb.groupBy("uk", "b").agg(F.count("*").cast("bigint").alias("n_obs"))
+    w_last = W.partitionBy("uk", "b").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    lastv = (
+        evb.filter(F.col("dvc").isNotNull())
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("uk", "b", F.col("dvc").alias("v_last"))
+    )
+    series = (
+        evb.groupBy("uk")
+        .agg(
+            F.min("user_id").alias("user_id"),
+            F.min("b").alias("b0"),
+            F.max("b").alias("b1"),
+        )
+        .select(
+            "uk",
+            "user_id",
+            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"),
+        )
+    )
+    j = series.join(obs, ["uk", "b"], "left").join(lastv, ["uk", "b"], "left")
+    w_cum = W.partitionBy("uk").orderBy("b").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    j2 = j.withColumn("grp", F.count("v_last").over(w_cum))
+    w_g = W.partitionBy("uk", "grp").orderBy("b").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return j2.select(
+        "user_id",
+        F.col("b").cast("bigint").alias("bucket_h"),
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+        F.max("v_last").over(w_g).cast("bigint").alias("v_cents_locf"),
+    ).orderBy("user_id", "bucket_h")

@@ -305,3 +305,62 @@ def test_span_excision_islands_planted(spark, tmp_path):
     assert got[0] == (2, 1, 6, 8, 750000)    # overlap merged
     assert got[2] == (2, 2, 10, 15, 666666)  # disjoint repeats
     assert 5 not in got                       # clean doc emits no row
+
+
+def test_gapfill_locf_planted(spark, tmp_path):
+    """q175 planted semantics: hour buckets densify from each user's
+    first to last bucket; gap rows carry n_obs=0 and the last non-NULL
+    observation forward; a bucket whose only events have NULL values
+    stays on the carried value; NULL-ts events are excluded; a NULL
+    user_id forms its own series. Hash-checked against the declared
+    oracle plus hand asserts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES
+    from tests.oracle import compare
+
+    H = 3_600 * 1_000_000
+    rows = [
+        # (event_id, user_id, us, value)
+        (0, 1, 0 * H + 100, 1.00),       # u1 bucket 0 -> 100 cents
+        (1, 1, 0 * H + 200, 2.00),       # later in bucket 0 -> 200 wins
+        (2, 1, 3 * H + 5, None),         # bucket 3: event with NULL value
+        (3, 1, 4 * H + 5, 5.00),         # bucket 4 -> 500
+        (4, 2, 2 * H, 7.25),             # u2 single bucket
+        (5, None, 0, 3.00),              # NULL-user series
+        (6, None, 1 * H, None),          # NULL-user bucket 1: NULL value
+        (7, 3, None, 9.99),              # NULL ts: excluded entirely
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [None if r[2] is None else r[2] for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = tmp_path / "gapfill"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    res = QUERIES["q175_gapfill_locf"](spark, str(d))
+    compare(res, ORACLE["q175_gapfill_locf"], str(d))
+    got = {
+        (r.user_id, r.bucket_h): (r.n_obs, r.v_cents_locf)
+        for r in res.collect()
+    }
+    assert got[(1, 0)] == (2, 200)   # last obs in bucket wins
+    assert got[(1, 1)] == (0, 200)   # gap row: carried forward
+    assert got[(1, 2)] == (0, 200)
+    assert got[(1, 3)] == (1, 200)   # NULL-value obs doesn't reset LOCF
+    assert got[(1, 4)] == (1, 500)
+    assert got[(2, 2)] == (1, 725)   # single-bucket series
+    assert got[(None, 0)] == (1, 300)
+    assert got[(None, 1)] == (1, 300)  # NULL-user series carries too
+    assert all(u != 3 for (u, _) in got)  # NULL-ts event excluded
+    assert len(got) == 5 + 1 + 2     # u1: buckets 0..4, u2: 1, NULL: 2
