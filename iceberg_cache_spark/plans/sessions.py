@@ -635,13 +635,21 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     a NULL user_id is one ordinary series via the `uk` surrogate key,
     so every join stays a plain non-null equi-join.
 
-    Plan shape at 100 TB: one hash-agg per (user, bucket), a
-    row_number window bounded by ONE bucket of one user, the series
-    explode bounded by the key's TIME SPAN (not its row count — a
-    hot user densifies to the same ~N-hour grid as a cold one, so the
-    gapfill itself is skew-immune), two broadcast-or-shuffle equi-joins
-    on (uk, bucket), and two LOCF windows partitioned by user. The
-    presentation sort is the only global exchange."""
+    Plan shape at 100 TB: ONE hash-agg per (user, bucket) computes
+    both the bucket's event count and its last observation — the
+    last-obs pick is a struct-MAX over (us, event_id, value), a
+    map-side-combining aggregate instead of a row_number window — so
+    the raw stream is read once and shuffled once. The series bounds
+    (min/max bucket per user) then come from the BUCKET aggregate, not
+    the raw stream; the explode is bounded by the key's TIME SPAN (not
+    its row count — a hot user densifies to the same ~N-hour grid as a
+    cold one, so the gapfill itself is skew-immune); one left
+    equi-join on (uk, bucket) attaches observations to the dense grid,
+    and two LOCF windows partitioned by user finish. The presentation
+    sort is the only global exchange. (The first bench read of the
+    naive two-join + window formulation measured 4.0 s at sf0.1 —
+    5th-costliest in the suite; this shape removes one full pass over
+    the events, one shuffle, and one per-bucket window.)"""
     e = T(spark, sf, "events")
     uk = F.when(F.col("user_id").isNull(), F.lit("n")).otherwise(
         F.concat(F.lit("v"), F.col("user_id").cast("string"))
@@ -660,18 +668,21 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
             "AS BIGINT)"
         ),
     )
-    obs = evb.groupBy("uk", "b").agg(F.count("*").cast("bigint").alias("n_obs"))
-    w_last = W.partitionBy("uk", "b").orderBy(
-        F.col("us").desc(), F.col("event_id").desc()
-    )
-    lastv = (
-        evb.filter(F.col("dvc").isNotNull())
-        .withColumn("rn", F.row_number().over(w_last))
-        .filter(F.col("rn") == 1)
-        .select("uk", "b", F.col("dvc").alias("v_last"))
+    # one aggregate: count + struct-max last-obs pick (lexicographic on
+    # (us, event_id) over non-NULL values — identical to the declared
+    # ROW_NUMBER ... DESC pick, but partially aggregable map-side)
+    obs = evb.groupBy("uk", "b").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.min("user_id").alias("user_id"),
+        F.max(
+            F.when(
+                F.col("dvc").isNotNull(),
+                F.struct("us", "event_id", "dvc"),
+            )
+        )["dvc"].alias("v_last"),
     )
     series = (
-        evb.groupBy("uk")
+        obs.groupBy("uk")
         .agg(
             F.min("user_id").alias("user_id"),
             F.min("b").alias("b0"),
@@ -683,7 +694,9 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
             F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"),
         )
     )
-    j = series.join(obs, ["uk", "b"], "left").join(lastv, ["uk", "b"], "left")
+    j = series.join(
+        obs.select("uk", "b", "n_obs", "v_last"), ["uk", "b"], "left"
+    )
     w_cum = W.partitionBy("uk").orderBy("b").rowsBetween(
         W.unboundedPreceding, 0
     )
