@@ -710,3 +710,177 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
         F.max("v_last").over(w_g).cast("bigint").alias("v_cents_locf"),
     ).orderBy("user_id", "bucket_h")
+
+
+_LERP_ORACLE = f"""WITH ev AS (
+         SELECT CASE WHEN user_id IS NULL THEN 'n'
+                     ELSE 'v' || CAST(user_id AS VARCHAR) END AS uk,
+                user_id, event_id, epoch_us(ts) AS us,
+                CAST(FLOOR(value * 100.0) AS BIGINT) AS dvc
+         FROM events WHERE ts IS NOT NULL),
+       evb AS (
+         SELECT *, CAST((us - ((us % {GAPFILL_H_US} + {GAPFILL_H_US})
+                               % {GAPFILL_H_US})) // {GAPFILL_H_US}
+                        AS BIGINT) AS b
+         FROM ev),
+       obs AS (
+         SELECT uk, b, MIN(user_id) AS user_id,
+                CAST(COUNT(*) AS BIGINT) AS n_obs
+         FROM evb GROUP BY uk, b),
+       lastv AS (
+         SELECT uk, b, dvc AS v_last FROM (
+           SELECT uk, b, dvc,
+                  ROW_NUMBER() OVER (PARTITION BY uk, b
+                       ORDER BY us DESC, event_id DESC) AS rn
+           FROM evb WHERE dvc IS NOT NULL) WHERE rn = 1),
+       ub AS (
+         SELECT uk, MIN(user_id) AS user_id,
+                MIN(b) AS b0, MAX(b) AS b1
+         FROM evb GROUP BY uk),
+       series AS (
+         SELECT uk, user_id,
+                CAST(UNNEST(generate_series(b0, b1)) AS BIGINT) AS b
+         FROM ub),
+       j AS (
+         SELECT s.uk, s.user_id, s.b, o.n_obs, l.v_last
+         FROM series s
+         LEFT JOIN obs o ON o.uk = s.uk AND o.b = s.b
+         LEFT JOIN lastv l ON l.uk = s.uk AND l.b = s.b),
+       g AS (
+         SELECT uk, user_id, b, n_obs, v_last,
+                CAST(COUNT(v_last) OVER (PARTITION BY uk ORDER BY b
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp,
+                CAST(COUNT(v_last) OVER (PARTITION BY uk ORDER BY b DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rgrp
+         FROM j),
+       ends AS (
+         SELECT uk, user_id, b, n_obs,
+                MAX(v_last) OVER wf AS v_prev,
+                MAX(CASE WHEN v_last IS NOT NULL THEN b END) OVER wf AS b_prev,
+                MAX(v_last) OVER wb AS v_next,
+                MIN(CASE WHEN v_last IS NOT NULL THEN b END) OVER wb AS b_next
+         FROM g
+         WINDOW wf AS (PARTITION BY uk, grp ORDER BY b
+                       ROWS UNBOUNDED PRECEDING),
+                wb AS (PARTITION BY uk, rgrp ORDER BY b DESC
+                       ROWS UNBOUNDED PRECEDING))
+       SELECT user_id, b AS bucket_h,
+              CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+              CAST(CASE
+                WHEN b_prev IS NULL OR b_next IS NULL THEN NULL
+                WHEN b_next = b_prev THEN v_prev
+                ELSE v_prev +
+                  ((v_next - v_prev) * (b - b_prev)
+                   - (((v_next - v_prev) * (b - b_prev)) % (b_next - b_prev)
+                      + (b_next - b_prev)) % (b_next - b_prev))
+                  // (b_next - b_prev)
+              END AS BIGINT) AS v_cents_lerp
+       FROM ends ORDER BY user_id, bucket_h"""
+
+
+@declared("q176_gapfill_interpolate", _LERP_ORACLE)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-interpolation densification (round 9) — q175's sibling
+    and the other half of the hypertable gap-fill pair (`locf` /
+    `interpolate`): per-user hourly buckets with gap rows filled by the
+    straight line between the surrounding observations, exact in BIGINT
+    cents via the portable floor-division idiom
+    ``a - pmod(a, d)) / d`` (Spark's DIV truncates toward zero while
+    some engines' ``//`` floors — the pmod form floors identically on
+    both for the positive bucket-distance denominator, so negative
+    slopes can't diverge). Buckets before the first or after the last
+    observation are NULL (the SQL-standard interpolate contract —
+    LOCF tails are q175's job); an observed bucket interpolates to its
+    own last observation.
+
+    The neighbor lookups reuse q175's certified two-window grouping
+    trick, mirrored: cumulative COUNT forward assigns each row its
+    predecessor-observation group (running MAX carries value AND
+    bucket), cumulative COUNT backward assigns the successor group —
+    four ROWS-frame windows total, all partitioned by user, no joins
+    beyond the dense-grid attach. Same skew story as q175: the grid is
+    bounded by a key's time span, not its row count."""
+    e = T(spark, sf, "events")
+    uk = F.when(F.col("user_id").isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), F.col("user_id").cast("string"))
+    )
+    ev = e.select(
+        uk.alias("uk"),
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("dvc"),
+    ).filter(F.col("us").isNotNull())
+    evb = ev.withColumn(
+        "b",
+        F.expr(
+            f"CAST((us - pmod(us, {GAPFILL_H_US})) DIV {GAPFILL_H_US} "
+            "AS BIGINT)"
+        ),
+    )
+    obs = evb.groupBy("uk", "b").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.min("user_id").alias("user_id"),
+        F.max(
+            F.when(
+                F.col("dvc").isNotNull(),
+                F.struct("us", "event_id", "dvc"),
+            )
+        )["dvc"].alias("v_last"),
+    )
+    series = (
+        obs.groupBy("uk")
+        .agg(
+            F.min("user_id").alias("user_id"),
+            F.min("b").alias("b0"),
+            F.max("b").alias("b1"),
+        )
+        .select(
+            "uk",
+            "user_id",
+            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"),
+        )
+    )
+    j = series.join(
+        obs.select("uk", "b", "n_obs", "v_last"), ["uk", "b"], "left"
+    )
+    w_f = W.partitionBy("uk").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    w_b = (
+        W.partitionBy("uk")
+        .orderBy(F.col("b").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    g = j.withColumn("grp", F.count("v_last").over(w_f)).withColumn(
+        "rgrp", F.count("v_last").over(w_b)
+    )
+    wf = (
+        W.partitionBy("uk", "grp")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wb = (
+        W.partitionBy("uk", "rgrp")
+        .orderBy(F.col("b").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    obs_b = F.when(F.col("v_last").isNotNull(), F.col("b"))
+    ends = (
+        g.withColumn("v_prev", F.max("v_last").over(wf))
+        .withColumn("b_prev", F.max(obs_b).over(wf))
+        .withColumn("v_next", F.max("v_last").over(wb))
+        .withColumn("b_next", F.min(obs_b).over(wb))
+    )
+    lerp = F.expr(
+        "CASE WHEN b_prev IS NULL OR b_next IS NULL THEN NULL "
+        "WHEN b_next = b_prev THEN v_prev "
+        "ELSE v_prev + "
+        "  ((v_next - v_prev) * (b - b_prev) "
+        "   - pmod((v_next - v_prev) * (b - b_prev), b_next - b_prev)) "
+        "  DIV (b_next - b_prev) END"
+    )
+    return ends.select(
+        "user_id",
+        F.col("b").cast("bigint").alias("bucket_h"),
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+        lerp.cast("bigint").alias("v_cents_lerp"),
+    ).orderBy("user_id", "bucket_h")

@@ -364,3 +364,52 @@ def test_gapfill_locf_planted(spark, tmp_path):
     assert got[(None, 1)] == (1, 300)  # NULL-user series carries too
     assert all(u != 3 for (u, _) in got)  # NULL-ts event excluded
     assert len(got) == 5 + 1 + 2     # u1: buckets 0..4, u2: 1, NULL: 2
+
+
+def test_gapfill_interpolate_planted(spark, tmp_path):
+    """q176 planted semantics: gap rows take the exact integer-floored
+    straight line between surrounding observations (negative slopes
+    floor toward -inf on BOTH engines via the pmod idiom); buckets
+    before the first / after the last observation are NULL; an observed
+    bucket interpolates to its own last observation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES
+    from tests.oracle import compare
+
+    H = 3_600 * 1_000_000
+    rows = [
+        # u1: obs at b0 (100 cents) and b4 (500) -> line 200/300/400
+        (0, 1, 0 * H, 1.00), (1, 1, 4 * H, 5.00),
+        # u2: negative slope 0 -> -100 over 3 buckets: floor(-33.3)=-34,
+        # floor(-66.6)=-67
+        (2, 2, 0 * H, 0.00), (3, 2, 3 * H, -1.00),
+        # u3: leading NULL tail — first obs at b2, series starts at b0
+        # (a NULL-value event at b0 extends the grid but is no obs)
+        (4, 3, 0 * H, None), (5, 3, 2 * H, 9.00),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = tmp_path / "lerp"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    res = QUERIES["q176_gapfill_interpolate"](spark, str(d))
+    compare(res, ORACLE["q176_gapfill_interpolate"], str(d))
+    got = {
+        (r.user_id, r.bucket_h): (r.n_obs, r.v_cents_lerp)
+        for r in res.collect()
+    }
+    assert [got[(1, b)][1] for b in range(5)] == [100, 200, 300, 400, 500]
+    assert [got[(2, b)][1] for b in range(4)] == [0, -34, -67, -100]
+    assert got[(3, 0)] == (1, None)   # before first obs: NULL (n_obs=1!)
+    assert got[(3, 1)] == (0, None)
+    assert got[(3, 2)] == (1, 900)
