@@ -625,15 +625,20 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     cents (the r9 portable derivation — no engine rounding rule on the
     hash path).
 
-    LOCF is computed with the portable two-window grouping trick —
-    cumulative COUNT(v) assigns each gap row to its predecessor
-    observation's group, running MAX inside (key, group) carries the
-    single non-NULL value — instead of `last_value(... IGNORE NULLS)`,
-    which not every engine build supports (same certified-construct
-    discipline as the rolling oracle). NULL semantics: NULL-ts events
-    are excluded (no bucket is defined for them — documented, tested);
-    a NULL user_id is one ordinary series via the `uk` surrogate key,
-    so every join stays a plain non-null equi-join.
+    The DECLARED oracle computes LOCF with the portable two-window
+    grouping trick — cumulative COUNT(v) assigns each gap row to its
+    predecessor observation's group, running MAX inside (key, group)
+    carries the single non-NULL value — instead of `last_value(...
+    IGNORE NULLS)`, which not every engine build supports (same
+    certified-construct discipline as the rolling oracle). The SPARK
+    side uses its native `last(v, ignorenulls=True)` cumulative window
+    — identical semantics, and ONE window pass instead of the trick's
+    two (the (key, group) partition would cost an extra exchange +
+    sort; the first bench read measured the difference). NULL
+    semantics: NULL-ts events are excluded (no bucket is defined for
+    them — documented, tested); a NULL user_id is one ordinary series
+    via the `uk` surrogate key, so every join stays a plain non-null
+    equi-join.
 
     Plan shape at 100 TB: ONE hash-agg per (user, bucket) computes
     both the bucket's event count and its last observation — the
@@ -700,15 +705,14 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     w_cum = W.partitionBy("uk").orderBy("b").rowsBetween(
         W.unboundedPreceding, 0
     )
-    j2 = j.withColumn("grp", F.count("v_last").over(w_cum))
-    w_g = W.partitionBy("uk", "grp").orderBy("b").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    return j2.select(
+    return j.select(
         "user_id",
         F.col("b").cast("bigint").alias("bucket_h"),
         F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
-        F.max("v_last").over(w_g).cast("bigint").alias("v_cents_locf"),
+        F.last("v_last", ignorenulls=True)
+        .over(w_cum)
+        .cast("bigint")
+        .alias("v_cents_locf"),
     ).orderBy("user_id", "bucket_h")
 
 
@@ -793,13 +797,16 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     LOCF tails are q175's job); an observed bucket interpolates to its
     own last observation.
 
-    The neighbor lookups reuse q175's certified two-window grouping
-    trick, mirrored: cumulative COUNT forward assigns each row its
-    predecessor-observation group (running MAX carries value AND
-    bucket), cumulative COUNT backward assigns the successor group —
-    four ROWS-frame windows total, all partitioned by user, no joins
-    beyond the dense-grid attach. Same skew story as q175: the grid is
-    bounded by a key's time span, not its row count."""
+    The DECLARED oracle finds the neighbors with q175's certified
+    grouping trick, mirrored forward/backward (cumulative COUNT groups
+    + running MAX carrying value AND bucket). The SPARK side uses
+    native `last(ignorenulls)` cumulative windows — identical
+    semantics, one window pass per direction instead of the trick's
+    two (each (key, group) partition would add an exchange + sort; the
+    first bench read measured the 4-window form at 5.4 s) — all
+    partitioned by user, no joins beyond the dense-grid attach. Same
+    skew story as q175: the grid is bounded by a key's time span, not
+    its row count."""
     e = T(spark, sf, "events")
     uk = F.when(F.col("user_id").isNull(), F.lit("n")).otherwise(
         F.concat(F.lit("v"), F.col("user_id").cast("string"))
@@ -844,31 +851,23 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     j = series.join(
         obs.select("uk", "b", "n_obs", "v_last"), ["uk", "b"], "left"
     )
+    # the declared oracle uses the portable grouping trick; the Spark
+    # side uses native last(ignorenulls) — identical semantics, ONE
+    # window pass per direction instead of two (the (key, group)
+    # partitions cost an extra exchange + sort each; the first bench
+    # read measured the 4-window formulation at 5.4 s)
     w_f = W.partitionBy("uk").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
     w_b = (
         W.partitionBy("uk")
         .orderBy(F.col("b").desc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    g = j.withColumn("grp", F.count("v_last").over(w_f)).withColumn(
-        "rgrp", F.count("v_last").over(w_b)
-    )
-    wf = (
-        W.partitionBy("uk", "grp")
-        .orderBy("b")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    wb = (
-        W.partitionBy("uk", "rgrp")
-        .orderBy(F.col("b").desc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
     obs_b = F.when(F.col("v_last").isNotNull(), F.col("b"))
     ends = (
-        g.withColumn("v_prev", F.max("v_last").over(wf))
-        .withColumn("b_prev", F.max(obs_b).over(wf))
-        .withColumn("v_next", F.max("v_last").over(wb))
-        .withColumn("b_next", F.min(obs_b).over(wb))
+        j.withColumn("v_prev", F.last("v_last", ignorenulls=True).over(w_f))
+        .withColumn("b_prev", F.last(obs_b, ignorenulls=True).over(w_f))
+        .withColumn("v_next", F.last("v_last", ignorenulls=True).over(w_b))
+        .withColumn("b_next", F.last(obs_b, ignorenulls=True).over(w_b))
     )
     lerp = F.expr(
         "CASE WHEN b_prev IS NULL OR b_next IS NULL THEN NULL "
