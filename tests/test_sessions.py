@@ -279,7 +279,7 @@ def test_span_excision_islands_planted(spark, tmp_path):
         "a b c d e f g h",                    # 0
         "a b c d e x y z",                    # 1
         "z z a b c d e q q q a b c d e",      # 2
-        "a b c d e f",                        # 3 (wait-free: has both spans)
+        "a b c d e f",                        # 3: carries both spans
         "b c d e f x",                        # 4
         "totally unrelated words here only",  # 5: no hits -> absent
     ]
