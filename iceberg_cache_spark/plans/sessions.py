@@ -154,6 +154,18 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
 # end. The output column is `sum_1h_cents BIGINT`. No engine-specific
 # rounding rule is exercised on either side.
 #
+# PRECISION CAVEAT (ADVICE r9): the cents are floor-OF-THE-DOUBLE, not
+# floor-of-the-nominal-decimal — e.g. 2.67 is stored as 2.6699999...,
+# so dvc = 266, one cent below nominal. That is the point: parity, not
+# decimal exactness — both engines floor the SAME IEEE double. Also,
+# a NaN/Inf `value` would diverge (DuckDB hard-errors the CAST, Spark
+# clamps); the fixtures carry only finite doubles and NULLs, and
+# tests/test_roll_oracle.py::test_cents_derivation_engine_portable
+# pins the adversarial finite cases (half-cent boundaries, one-ulp
+# straddles, negatives). If adversarial value injection is ever
+# extended beyond NULLs, add an `isfinite(value)` guard on BOTH sides
+# before this derivation.
+#
 # FORMULATION (rewritten r8): the frame is computed via the engine's
 # own prefix-sum decomposition (operators/rolling.py design) using
 # only constructs with green driver history: GROUP BY, UNION ALL, one
@@ -612,6 +624,60 @@ _GAPFILL_ORACLE = f"""WITH ev AS (
        FROM g ORDER BY user_id, bucket_h"""
 
 
+# Max elements in any single generated bucket array (gap-fill dense
+# grid). 65536 hourly buckets ≈ 7.5 years per slab — any real series
+# fits in a handful of slabs.
+GAPFILL_SLAB = 65536
+
+
+def _dense_series(obs: DataFrame) -> DataFrame:
+    """Per-key dense bucket grid [min(b), max(b)], slab-chunked
+    (round 10 guard — VERDICT r9 "What's wrong" #2).
+
+    A bare ``F.explode(F.sequence(b0, b1))`` materializes a key's
+    WHOLE span as one array row. Bounded by time span that is fine for
+    any realistic series (10 years hourly ≈ 88k elements ≈ sub-MB),
+    but one corrupt/outlier timestamp pair (an event in 1970 plus one
+    in 2026) would build a ~500k-element array on a single row before
+    the explode. Two-level explode instead: slab index first (a
+    ``(b1-b0) DIV 65536 + 1``-element sequence — 8 rows for the
+    1970/2026 case), then the ≤65536-element slab sequence. Identical
+    rows and hashes; worst-case array size is bounded by the slab
+    constant instead of the data. Same plan-guard philosophy as
+    ``operators/rolling.py``'s frame guard.
+    """
+    ub = obs.groupBy("uk").agg(
+        F.min("user_id").alias("user_id"),
+        F.min("b").alias("b0"),
+        F.max("b").alias("b1"),
+    )
+    slabs = ub.select(
+        "uk",
+        "user_id",
+        "b0",
+        "b1",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"(b1 - b0) DIV {GAPFILL_SLAB}"),
+            )
+        ).alias("s"),
+    )
+    return slabs.select(
+        "uk",
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("b0") + F.col("s") * F.lit(GAPFILL_SLAB),
+                F.least(
+                    F.col("b1"),
+                    F.col("b0") + (F.col("s") + 1) * F.lit(GAPFILL_SLAB) - 1,
+                ),
+            )
+        ).alias("b"),
+    )
+
+
 @declared("q175_gapfill_locf", _GAPFILL_ORACLE)
 def q175(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series densification (round 9): per-user HOURLY buckets
@@ -655,7 +721,14 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     naive two-join + window formulation measured 4.0 s at sf0.1 —
     5th-costliest in the suite; this shape removes one full pass over
     the events, one shuffle, and one per-bucket window.)"""
-    e = T(spark, sf, "events")
+    return gapfill_locf(T(spark, sf, "events"))
+
+
+def _gapfill_obs(e: DataFrame) -> DataFrame:
+    """Shared gap-fill prelude: ONE hash-agg per (user, bucket) with
+    count + struct-max last-obs pick (lexicographic on (us, event_id)
+    over non-NULL values — identical to the declared ROW_NUMBER ...
+    DESC pick, but partially aggregable map-side)."""
     uk = F.when(F.col("user_id").isNull(), F.lit("n")).otherwise(
         F.concat(F.lit("v"), F.col("user_id").cast("string"))
     )
@@ -673,10 +746,7 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
             "AS BIGINT)"
         ),
     )
-    # one aggregate: count + struct-max last-obs pick (lexicographic on
-    # (us, event_id) over non-NULL values — identical to the declared
-    # ROW_NUMBER ... DESC pick, but partially aggregable map-side)
-    obs = evb.groupBy("uk", "b").agg(
+    return evb.groupBy("uk", "b").agg(
         F.count("*").cast("bigint").alias("n_obs"),
         F.min("user_id").alias("user_id"),
         F.max(
@@ -686,19 +756,14 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
             )
         )["dvc"].alias("v_last"),
     )
-    series = (
-        obs.groupBy("uk")
-        .agg(
-            F.min("user_id").alias("user_id"),
-            F.min("b").alias("b0"),
-            F.max("b").alias("b1"),
-        )
-        .select(
-            "uk",
-            "user_id",
-            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"),
-        )
-    )
+
+
+def gapfill_locf(e: DataFrame) -> DataFrame:
+    """LOCF densification over an events-shaped DataFrame (q175 body;
+    importable so the adversarial-span pytest can drive it on a
+    synthetic corrupt-timestamp fixture)."""
+    obs = _gapfill_obs(e)
+    series = _dense_series(obs)
     j = series.join(
         obs.select("uk", "b", "n_obs", "v_last"), ["uk", "b"], "left"
     )
@@ -807,47 +872,14 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     partitioned by user, no joins beyond the dense-grid attach. Same
     skew story as q175: the grid is bounded by a key's time span, not
     its row count."""
-    e = T(spark, sf, "events")
-    uk = F.when(F.col("user_id").isNull(), F.lit("n")).otherwise(
-        F.concat(F.lit("v"), F.col("user_id").cast("string"))
-    )
-    ev = e.select(
-        uk.alias("uk"),
-        "user_id",
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("dvc"),
-    ).filter(F.col("us").isNotNull())
-    evb = ev.withColumn(
-        "b",
-        F.expr(
-            f"CAST((us - pmod(us, {GAPFILL_H_US})) DIV {GAPFILL_H_US} "
-            "AS BIGINT)"
-        ),
-    )
-    obs = evb.groupBy("uk", "b").agg(
-        F.count("*").cast("bigint").alias("n_obs"),
-        F.min("user_id").alias("user_id"),
-        F.max(
-            F.when(
-                F.col("dvc").isNotNull(),
-                F.struct("us", "event_id", "dvc"),
-            )
-        )["dvc"].alias("v_last"),
-    )
-    series = (
-        obs.groupBy("uk")
-        .agg(
-            F.min("user_id").alias("user_id"),
-            F.min("b").alias("b0"),
-            F.max("b").alias("b1"),
-        )
-        .select(
-            "uk",
-            "user_id",
-            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"),
-        )
-    )
+    return gapfill_interpolate(T(spark, sf, "events"))
+
+
+def gapfill_interpolate(e: DataFrame) -> DataFrame:
+    """Linear-interpolation densification over an events-shaped
+    DataFrame (q176 body; importable for the adversarial-span test)."""
+    obs = _gapfill_obs(e)
+    series = _dense_series(obs)
     j = series.join(
         obs.select("uk", "b", "n_obs", "v_last"), ["uk", "b"], "left"
     )
