@@ -245,15 +245,41 @@ def simhash_pairs(
       mega-bucket are lost — bounded, documented recall cost on a
       declared-approximate operator."""
     sim = materialize(simhash64(df, id_col, text_col))
-    chunks = sim.select(
+    return hamming_band_pairs(
+        sim, id_col, "simhash", max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    group_cols: tuple[str, ...] = (),
+    max_hamming: int = 3,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Banded Hamming pair join over ANY 64-bit hash column (round 10:
+    extracted verbatim from :func:`simhash_pairs` so the perceptual
+    media tier reuses the identical, driver-certified banding instead
+    of a second copy). Any pair at Hamming distance ≤3 shares at least
+    one of the four 16-bit chunks; ``group_cols`` (e.g. modality) are
+    added to the bucket key and carried into the output, so pairs
+    never cross groups. Same scale guards as documented above: the
+    Hamming filter runs before the pair ``distinct``, and hot
+    ``(chunk, value)`` buckets past ``max_bucket`` are dropped from
+    candidate generation."""
+    gc = list(group_cols)
+    keys = gc + ["chunk", "cv"]
+    chunks = df.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col).alias("_hh"),
+        *gc,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16)
+                        F.shiftright(hash_col, c * 16)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("cv"),
                     )
@@ -261,24 +287,25 @@ def simhash_pairs(
                 ]
             )
         ).alias("ck"),
-    ).select(id_col, "simhash", "ck.chunk", "ck.cv")
+    ).select(id_col, "_hh", *gc, "ck.chunk", "ck.cv")
     bucket_ok = (
-        chunks.groupBy("chunk", "cv")
+        chunks.groupBy(*keys)
         .agg(F.count("*").alias("bsz"))
         .filter(F.col("bsz") <= max_bucket)
-        .select("chunk", "cv")
+        .select(*keys)
     )
-    chunks = chunks.join(bucket_ok, ["chunk", "cv"], "left_semi")
+    chunks = chunks.join(bucket_ok, keys, "left_semi")
     a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
+        F.col(id_col).alias("id_a"), F.col("_hh").alias("sh_a"), *keys
     )
     b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv"
+        F.col(id_col).alias("id_b"), F.col("_hh").alias("sh_b"), *keys
     )
     return (
-        a.join(b, ["chunk", "cv"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
+            *gc,
             "id_a",
             "id_b",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),

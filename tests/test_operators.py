@@ -100,6 +100,28 @@ def test_embedding_near_dup_pairs(spark, vectors):
     assert all({a, b} != {1, 3} for a, b in pairs)
 
 
+def test_q72_planted_recall_on_fixture(spark):
+    """Round-10 gate hardening (VERDICT r9 #1): the registered q72
+    query must recover most of its own planted near-dup pairs on the
+    real embeddings fixture — the rows-only gate row used to pass on
+    an empty result. Every planted pair is identifiable by the id
+    offset; recall floor matches tools/verify_contract.ROWS_ONLY_MIN."""
+    from iceberg_cache_spark.plans import extensions as E
+
+    out = E.q72(spark, "/root/testdata/sf0.001").collect()
+    planted = {
+        (r.id_a, r.id_b)
+        for r in out
+        if r.id_b >= E.Q72_PLANT_OFFSET
+    }
+    # each recovered planted pair pairs original i with copy i+OFFSET
+    assert all(b - E.Q72_PLANT_OFFSET == a for a, b in planted)
+    assert len(planted) >= 10  # 17/20 recovered at sf0.001 (LSH tier)
+    for r in out:
+        if r.id_b >= E.Q72_PLANT_OFFSET:
+            assert r.sim >= 0.9  # genuinely near AND above threshold
+
+
 def test_lsh_bucket_deterministic(spark, vectors):
     b1 = {r.vec_id: r.lsh_bucket for r in S.with_lsh_bucket(vectors, "embedding", 4, 3).collect()}
     b2 = {r.vec_id: r.lsh_bucket for r in S.with_lsh_bucket(vectors.repartition(3), "embedding", 4, 3).collect()}
@@ -579,3 +601,60 @@ def test_sample_frames_real_decode(spark):
     rebuilt = b"".join(bytes(r.frame_bytes) for r in rows)
     assert rebuilt == pcm
     assert all(len(r.frame_bytes) <= 16 for r in rows)
+
+
+# -- perceptual near-dup (round 10) ----------------------------------------
+
+
+def test_q177_payload_cluster_invariants():
+    """Cluster members are byte-level different (exact dedup finds
+    nothing) but perceptual-hash IDENTICAL (margin math holds);
+    different clusters hash far apart."""
+    import hashlib
+
+    from iceberg_cache_spark.operators import multimodal as M
+    from iceberg_cache_spark.plans.extensions import q177_payload
+
+    def phash(payload):
+        d = M.decode_media(payload)
+        if d["modality"] == "audio":
+            return M.dhash64_audio(d["samples"])
+        return M.dhash64_image(d["pixels"])
+
+    for base in (0, 4, 40, 444):  # image, audio, image, audio clusters
+        payloads = [q177_payload(base + i) for i in range(4)]
+        assert len({hashlib.md5(p).hexdigest() for p in payloads}) == 4
+        hashes = {phash(p) for p in payloads}
+        assert len(hashes) == 1  # perceptually identical
+    # decorrelated across clusters (image vs image, audio vs audio)
+    h0, h40 = phash(q177_payload(0)), phash(q177_payload(40))
+    assert bin((h0 ^ h40) & (2**64 - 1)).count("1") > 3
+    h4, h444 = phash(q177_payload(4)), phash(q177_payload(444))
+    assert bin((h4 ^ h444) & (2**64 - 1)).count("1") > 3
+
+
+def test_perceptual_hashes_null_payload(spark):
+    from iceberg_cache_spark.operators import multimodal as M
+    from iceberg_cache_spark.plans.extensions import q177_payload
+
+    df = spark.createDataFrame(
+        [(1, q177_payload(1)), (2, None)], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r.phash for r in M.perceptual_hashes(df).collect()}
+    assert got[2] is None and got[1] is not None
+    # NULL-hash rows never reach the pair join
+    assert M.perceptual_near_dup_pairs(M.perceptual_hashes(df)).count() == 0
+
+
+def test_hamming_band_pairs_respects_groups(spark):
+    """Identical hashes in DIFFERENT groups must not pair — the group
+    column is part of the bucket key, not just an output column."""
+    from iceberg_cache_spark.operators.dedup import hamming_band_pairs
+
+    df = spark.createDataFrame(
+        [(1, "image", 12345), (2, "audio", 12345), (3, "image", 12345)],
+        "doc_id long, modality string, phash long",
+    )
+    out = hamming_band_pairs(df, "doc_id", "phash", group_cols=("modality",))
+    assert [(r.id_a, r.id_b, r.modality, r.hamming) for r in out.collect()] \
+        == [(1, 3, "image", 0)]

@@ -27,6 +27,27 @@ OUT = f"/root/repo/CORRECTNESS_local_r{ROUND}{_SUFFIX}.json"
 
 sys.path.insert(0, "/root/repo")
 
+# Expected-minimum row counts for the rows-only (approximate-tier)
+# queries (round 10 — VERDICT r9 "What's wrong" #1: q72 passed its r9
+# gate row on an EMPTY result, which proved nothing). Each floor is a
+# conservative lower bound on the DETERMINISTIC output at both gate
+# scales (sf0.01 / sf0.1; measured r9–r10): a rows-only row now
+# certifies "produced at least the planted/structural minimum", not
+# merely "ran". Floors apply only to the main contract gate — the
+# degenerate-input gates (empty-table variant!) legitimately emit 0.
+ROWS_ONLY_MIN = {
+    "q27_approx_count_distinct": 5,    # one row per group, exact
+    "q62_minhash_near_dup": 20,        # 25 @sf0.01 / 256 @sf0.1
+    "q63_simhash_near_dup": 15,        # 17 @sf0.01 / 525 @sf0.1
+    "q71_lsh_cosine_topk": 25,         # 5 queries × top-5, exact
+    "q72_embedding_near_dup": 10,      # ≥10 of 20 planted pairs
+    "q73_ivf_cosine_topk": 25,         # 5 queries × top-5, exact
+    "q126_cluster_balanced_sample": 50,  # 76 @sf0.01 / 80 @sf0.1
+    "q127_quality_classifier": 400,    # 500 @sf0.01 / 5000 @sf0.1
+    "q146_hll_cardinality": 6,         # one row per region+total, exact
+    "q151_semdedup_apply": 10,         # top-10 survivors, exact
+}
+
 
 def build_session():
     """The driver-identical vanilla session. The canonical gate keeps
@@ -135,9 +156,16 @@ def main() -> int:
                 }
             else:
                 n = res.count()
-                status = f"ROWS_ONLY({n})"
+                floor = ROWS_ONLY_MIN.get(name, 1)
+                if n < floor:
+                    raise AssertionError(
+                        f"rows-only gate vacuous: {n} rows < expected "
+                        f"minimum {floor}"
+                    )
+                status = f"ROWS_ONLY({n}>={floor})"
                 results[name] = {
-                    "rows_match": True, "mode": "rows_only", "rows": n, "err": None,
+                    "rows_match": True, "mode": "rows_only", "rows": n,
+                    "min_expected": floor, "err": None,
                 }
             ok += 1
         except Exception as exc:
