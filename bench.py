@@ -335,12 +335,23 @@ def child_scale_probe(out_path: str) -> None:
     event_probes = [
         "q152_sessionization", "q153_rolling_window",
         "q156_session_funnel",
+        # gap-fill tier (r10, VERDICT r9 item 4): the dense grid is
+        # bounded by a key's TIME SPAN, and the scaledata corpus holds
+        # the span fixed while rows go 10x — so the expected ratio is
+        # ~10x (per-event work) with the grid cost flat
+        "q175_gapfill_locf", "q176_gapfill_interpolate",
     ]
     text_probes = [
         "q62_minhash_near_dup", "q63_simhash_near_dup",
         "q64_ngram_jaccard", "q74_ppjoin_jaccard",
         "q116_dedup_clusters", "q145_chunk_dedup",
         "q149_incremental_dedup",
+        # span-excision tier (r10): registry agg + broadcast probe —
+        # both passes linear in exploded spans, expected ~10x
+        "q174_span_excision", "q178_span_excision_rewrite",
+        # perceptual media near-dup (r10): decode+hash linear, banded
+        # pair join ~cluster-bounded — expected ~10x
+        "q177_perceptual_near_dup",
     ]
     # ANN tier. q71/q73/q126 probe their declared configs (fixed
     # plane/cell counts keep them linear: candidate work per query is
@@ -532,7 +543,16 @@ def child_skew_probe(out_path: str) -> None:
     # q172 must pick the chunked branch on this 86%-hot corpus — the
     # standing proof that the r8 auto selector lands on best-of-both
     # (its uniform-key cost rides in the main suite next to q153).
-    names = [q for pair in pairs for q in pair] + ["q172_rolling_window_auto"]
+    # q175/q176 (r10, VERDICT r9 item 4) have no chunked twin BY
+    # DESIGN: their dense grid is bounded by the hot key's time span,
+    # not its row count, so the hot-key corpus should cost them only
+    # the per-event aggregate — the cells prove the skew-immunity
+    # claim with numbers instead of prose.
+    names = [q for pair in pairs for q in pair] + [
+        "q172_rolling_window_auto",
+        "q175_gapfill_locf",
+        "q176_gapfill_interpolate",
+    ]
     # 5 samples (not the suite's 3): these long-window cells justify
     # the tier's headline numbers and kept failing their own spread
     # gate at 3 (r7: q167/q168 spread_ok false) — VERDICT r7 item 5.

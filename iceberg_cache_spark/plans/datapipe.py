@@ -1069,6 +1069,84 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _span_base(d: DataFrame) -> DataFrame:
+    """(doc_id, t, n_tokens) with n_tokens coalesced to 0 for NULL
+    texts (a NULL text yields NULL spans which the span <> '' gate
+    drops, so the coalesce is presentation-only — it keeps q178's
+    output columns NULL-free where the oracle's are)."""
+    toks = d.select("doc_id", _text_tokens(F.col("text")).alias("t"))
+    return toks.select(
+        "doc_id",
+        "t",
+        F.coalesce(
+            F.when(F.col("t").isNotNull(), F.size("t")), F.lit(0)
+        ).cast("bigint").alias("n_tokens"),
+    )
+
+
+def _excision_islands(base: DataFrame) -> DataFrame:
+    """Shared q174/q178 chain (round 10: extracted verbatim from the
+    driver-certified q174 body): exploded spans → top-{SPAN_TOP}
+    registry → broadcast hit probe → doc-partitioned ROWS-frame
+    interval union. Returns one row per MERGED excision island:
+    (doc_id, isl_id, n_tokens, occ, s, e) with [s, e] the 0-based
+    inclusive token range to excise. Plan shape documented on q174."""
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("t")) - SPAN_K, F.lit(0))
+    )
+    spans = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("bigint").alias("i"),
+                    F.array_join(
+                        F.slice(F.col("t"), i + 1, SPAN_K), " "
+                    ).alias("span"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id", "n_tokens", F.col("s.i").alias("i"), F.col("s.span").alias("span")
+    ).filter(F.col("span") != "")
+    reg = (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct(F.col("doc_id")).alias("nd"),
+            F.count("*").alias("no"),
+        )
+        .filter(F.col("nd") >= SPAN_MIN_DF)
+        .orderBy(F.col("nd").desc(), F.col("no").desc(), "span")
+        .limit(SPAN_TOP)
+        .select("span")
+    )
+    hits = spans.join(F.broadcast(reg), "span").select(
+        "doc_id",
+        "n_tokens",
+        "i",
+        (F.least(F.col("i") + SPAN_K, F.col("n_tokens")) - 1).alias("fin"),
+    )
+    w_ord = W.partitionBy("doc_id").orderBy("i")
+    pm = F.max("fin").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(pm.isNull() | (F.col("i") > pm), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return isl.groupBy("doc_id", "isl_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("occ"),
+        F.min("i").alias("s"),
+        F.max("fin").alias("e"),
+    )
+
+
 @declared(
     "q174_span_excision",
     f"""WITH toks AS (
@@ -1137,65 +1215,7 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
     No global sort before the final presentation ORDER BY; NULL doc_id
     rows form one ordinary window/group key on both engines (no
     equi-join on the nullable key anywhere)."""
-    d = T(spark, sf, "documents")
-    toks = d.select("doc_id", _text_tokens(F.col("text")).alias("t"))
-    base = toks.select(
-        "doc_id", "t", F.size("t").cast("bigint").alias("n_tokens")
-    )
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.size(F.col("t")) - SPAN_K, F.lit(0))
-    )
-    spans = base.select(
-        "doc_id",
-        "n_tokens",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    i.cast("bigint").alias("i"),
-                    F.array_join(
-                        F.slice(F.col("t"), i + 1, SPAN_K), " "
-                    ).alias("span"),
-                ),
-            )
-        ).alias("s"),
-    ).select(
-        "doc_id", "n_tokens", F.col("s.i").alias("i"), F.col("s.span").alias("span")
-    ).filter(F.col("span") != "")
-    reg = (
-        spans.groupBy("span")
-        .agg(
-            F.count_distinct(F.col("doc_id")).alias("nd"),
-            F.count("*").alias("no"),
-        )
-        .filter(F.col("nd") >= SPAN_MIN_DF)
-        .orderBy(F.col("nd").desc(), F.col("no").desc(), "span")
-        .limit(SPAN_TOP)
-        .select("span")
-    )
-    hits = spans.join(F.broadcast(reg), "span").select(
-        "doc_id",
-        "n_tokens",
-        "i",
-        (F.least(F.col("i") + SPAN_K, F.col("n_tokens")) - 1).alias("fin"),
-    )
-    w_ord = W.partitionBy("doc_id").orderBy("i")
-    pm = F.max("fin").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
-    isl = hits.withColumn(
-        "new_isl",
-        F.when(pm.isNull() | (F.col("i") > pm), F.lit(1)).otherwise(F.lit(0)),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl")
-        .over(w_ord.rowsBetween(W.unboundedPreceding, 0))
-        .cast("bigint"),
-    )
-    m = isl.groupBy("doc_id", "isl_id").agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.count("*").cast("bigint").alias("occ"),
-        F.min("i").alias("s"),
-        F.max("fin").alias("e"),
-    )
+    m = _excision_islands(_span_base(T(spark, sf, "documents")))
     return (
         m.groupBy("doc_id")
         .agg(
@@ -1213,3 +1233,110 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q174.__doc__ = q174.__doc__.replace("{TOP}", str(SPAN_TOP))
+
+
+@declared(
+    "q178_span_excision_rewrite",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       base AS (SELECT doc_id, t, COALESCE(len(t), 0) AS n_tokens FROM toks),
+       spans AS (
+         SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS i,
+                array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+{SPAN_K} AS BIGINT)],
+                                ' ') AS span
+         FROM base,
+              UNNEST(range(greatest(n_tokens - {SPAN_K - 1}, 1))) AS u(i)),
+       f AS (SELECT * FROM spans WHERE span <> ''),
+       reg AS (
+         SELECT span, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS no
+         FROM f GROUP BY span
+         HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DF}
+         ORDER BY nd DESC, no DESC, span LIMIT {SPAN_TOP}),
+       hits AS (
+         SELECT s.doc_id, s.i,
+                LEAST(s.i + {SPAN_K}, s.n_tokens) - 1 AS fin
+         FROM f s JOIN reg r ON s.span = r.span),
+       ord AS (
+         SELECT doc_id, i, fin,
+                MAX(fin) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         FROM hits),
+       isl AS (
+         SELECT doc_id, i, fin,
+                CAST(SUM(CASE WHEN pm IS NULL OR i > pm THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl_id
+         FROM ord),
+       m AS (SELECT doc_id, isl_id, MIN(i) AS s, MAX(fin) AS e
+             FROM isl GROUP BY doc_id, isl_id),
+       isln AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS isls
+                FROM m GROUP BY doc_id),
+       j AS (SELECT b.doc_id, b.t, b.n_tokens, i.isls
+             FROM base b LEFT JOIN isln i ON b.doc_id = i.doc_id)
+       SELECT doc_id,
+              CASE WHEN t IS NULL THEN NULL
+                   WHEN isls IS NULL THEN COALESCE(array_to_string(t, ' '), '')
+                   ELSE COALESCE(array_to_string(list_filter(t, (x, k) ->
+                        len(list_filter(isls, r ->
+                            (k-1) >= r.s AND (k-1) <= r.e)) = 0), ' '), '')
+              END AS text_clean,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(CASE WHEN t IS NULL THEN 0
+                   WHEN isls IS NULL THEN len(t)
+                   ELSE len(list_filter(t, (x, k) ->
+                        len(list_filter(isls, r ->
+                            (k-1) >= r.s AND (k-1) <= r.e)) = 0))
+              END AS BIGINT) AS n_kept
+       FROM j ORDER BY doc_id, text_clean""",
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-excision REWRITE (round 10 — VERDICT r9 next-round #3):
+    emit the excised corpus itself, completing the span tier's
+    find (q159) → decide (q159 registry) → account (q174) →
+    **rewrite** story the way q150/q151 completed doc-level dedup.
+    One output row per input document: tokens covered by any merged
+    excision island are deleted, survivors re-joined to text.
+
+    Plan shape at 100 TB: the island chain is the shared
+    driver-certified q174 pipeline (broadcast registry probe, ROWS-
+    frame interval union bounded by one doc's hits); the per-doc
+    island LIST (collect_list over ≤ hits-per-doc merged intervals —
+    tiny by construction) left-joins back to the corpus and the
+    rewrite itself is a Catalyst higher-order ``F.filter`` with an
+    index lambda over the token array — per-row, JVM-side, zero
+    additional shuffle beyond the island agg + one co-keyed join.
+    Never a positional explode of the corpus (that would rebuild
+    every document through a shuffle). Docs with no hits pass through
+    verbatim via the NULL island branch; NULL doc_ids keep full text
+    on both engines (equi-join drops NULL keys — same contract as the
+    oracle's LEFT JOIN). Exactly-SQL-expressible, so hash-matched:
+    DuckDB 1.0 mirrors the indexed/nested lambda natively (dialect
+    trap: its array_to_string([]) is NULL where Spark's array_join([])
+    is '' — the oracle COALESCEs all-excised/empty docs to '')."""
+    base = _span_base(T(spark, sf, "documents"))
+    isln = _excision_islands(base).groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("isls")
+    )
+    j = base.join(isln, ["doc_id"], "left")
+
+    def _kept(t):
+        return F.filter(
+            t,
+            lambda x, k: ~F.exists(
+                F.col("isls"), lambda r: (k >= r["s"]) & (k <= r["e"])
+            ),
+        )
+
+    return j.select(
+        "doc_id",
+        F.when(F.col("t").isNull(), F.lit(None).cast("string"))
+        .when(F.col("isls").isNull(), F.array_join("t", " "))
+        .otherwise(F.array_join(_kept(F.col("t")), " "))
+        .alias("text_clean"),
+        F.col("n_tokens"),
+        F.when(F.col("t").isNull(), F.lit(0))
+        .when(F.col("isls").isNull(), F.size("t"))
+        .otherwise(F.size(_kept(F.col("t"))))
+        .cast("bigint")
+        .alias("n_kept"),
+    ).orderBy("doc_id", "text_clean")

@@ -306,6 +306,16 @@ def test_span_excision_islands_planted(spark, tmp_path):
     assert got[2] == (2, 2, 10, 15, 666666)  # disjoint repeats
     assert 5 not in got                       # clean doc emits no row
 
+    # q178 rewrite on the same fixture: the excised corpus itself
+    res = QUERIES["q178_span_excision_rewrite"](spark, str(d))
+    compare(res, ORACLE["q178_span_excision_rewrite"], str(d))
+    clean = {r.doc_id: (r.text_clean, r.n_tokens, r.n_kept)
+             for r in res.collect()}
+    assert clean[0] == ("g h", 8, 2)          # merged island 0..5 cut
+    assert clean[2] == ("z z q q q", 15, 5)   # two disjoint islands cut
+    assert clean[3] == ("", 6, 0)             # fully excised -> ''
+    assert clean[5] == (texts[5], 5, 5)       # clean doc passes verbatim
+
 
 def test_gapfill_locf_planted(spark, tmp_path):
     """q175 planted semantics: hour buckets densify from each user's
