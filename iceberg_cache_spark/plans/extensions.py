@@ -491,7 +491,10 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
     hash match. (Cross-cluster hashes are LCG-decorrelated; the ≤3
     Hamming threshold makes an accidental collision ~1e-13 per pair,
     and the committed fixtures are certified empirically by this very
-    gate at both scales.)"""
+    gate at both scales.) Parity model: the reference repo has no
+    media operators — this extends its golden-row test discipline
+    (reference src/tests/test_sql_query_engine.py:28-33) to a tier it
+    never had, per SURVEY §2.2's extension contract."""
 
     def synth(batches):
         import pandas as _pd
