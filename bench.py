@@ -352,6 +352,11 @@ def child_scale_probe(out_path: str) -> None:
         # perceptual media near-dup (r10): decode+hash linear, banded
         # pair join ~cluster-bounded — expected ~10x
         "q177_perceptual_near_dup",
+        # packing is one two-level prefix sum (~10x); decontam probes
+        # the corpus stream against a broadcast benchmark set whose
+        # size also grows with the corpus here (1/97 split) — still
+        # ~linear while the hit stream stays sparse
+        "q179_sequence_packing", "q180_benchmark_decontam",
     ]
     # ANN tier. q71/q73/q126 probe their declared configs (fixed
     # plane/cell counts keep them linear: candidate work per query is

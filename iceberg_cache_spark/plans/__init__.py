@@ -192,6 +192,13 @@ HEAD_R9 = (
     "q172_rolling_window_auto",
 )
 
+# Round 10: the r9 driver certified every HEAD_R9 row green
+# (CORRECTNESS_r09.json), so there are no red rows to lead — the head
+# tier is EMPTY and the window is pure freshness rotation (new queries
+# first, then stalest evidence). A future round with driver-red rows
+# repopulates this tuple with the names carrying its fix.
+HEAD_CURRENT: tuple[str, ...] = ()
+
 
 def _priority(name: str) -> tuple[int, int, int]:
     """Round-9 protocol, generalized: freshness-rank rotation.
@@ -211,8 +218,8 @@ def _priority(name: str) -> tuple[int, int, int]:
         they spend no driver slots.
     """
     order = list(QUERIES).index(name)
-    if name in HEAD_R9:
-        return (0, HEAD_R9.index(name), order)
+    if name in HEAD_CURRENT:
+        return (0, HEAD_CURRENT.index(name), order)
     if name not in ORACLE:
         return (3, 0, order)
     freshest = _FRESHEST_ROUND.get(name)
@@ -326,6 +333,32 @@ DRIVER_VERIFIED_R8 = frozenset(
 )
 
 
+# Names the round-9 driver hash-verified green (CORRECTNESS_r09.json:
+# all 50 sampled rows — the HEAD_R9 quartet certifying the BIGINT-cents
+# fix, first greens for q173–q176, and the stale-r6 tier re-certified).
+DRIVER_VERIFIED_R9 = frozenset(
+    {
+        "q01_projection", "q02_filter", "q03_between_like", "q04_case_when",
+        "q05_cast_coalesce", "q06_distinct", "q100_string_agg",
+        "q101_conditional_aggs", "q102_date_format", "q103_more_strings",
+        "q10_inner_join", "q113_keep_best_quality", "q114_sequence_packing",
+        "q115_curation_pipeline", "q116_dedup_clusters", "q117_gopher_rules",
+        "q118_boilerplate_grams", "q119_domain_reweight", "q11_left_join",
+        "q120_tpch_q7", "q121_tpch_q8", "q122_tpch_q10",
+        "q123_late_shipments", "q124_tpch_q14", "q125_small_qty_revenue",
+        "q128_stream_interval_join", "q129_packed_manifest", "q130_funnel",
+        "q131_retention_cohorts", "q132_tpch_q2", "q148_dedup_clusters_star",
+        "q149_incremental_dedup", "q150_dedup_apply", "q153_rolling_window",
+        "q166_rolling_window_chunked", "q170_decimal_cast_probe",
+        "q172_rolling_window_auto", "q173_media_decode_roundtrip",
+        "q174_span_excision", "q175_gapfill_locf", "q176_gapfill_interpolate",
+        "q35_range_frame", "q36_first_last_nth", "q37_posexplode",
+        "q49_string_position", "q59_ts_arith", "q75_pivot",
+        "q76_values_inline", "q77_except_all", "q96_embedding_quantize",
+    }
+)
+
+
 # name -> the LATEST round whose driver run hash-certified it (the
 # freshness rank the r9 rotation sorts on; later rounds overwrite).
 _FRESHEST_ROUND: dict[str, int] = {}
@@ -338,6 +371,7 @@ for _round, _certified in (
     (6, DRIVER_VERIFIED_R6),
     (7, DRIVER_VERIFIED_R7),
     (8, DRIVER_VERIFIED_R8),
+    (9, DRIVER_VERIFIED_R9),
 ):
     for _n in _certified:
         _FRESHEST_ROUND[_n] = _round
@@ -367,10 +401,12 @@ __all__ = [
     "DRIVER_VERIFIED_R6",
     "DRIVER_VERIFIED_R7",
     "DRIVER_VERIFIED_R8",
+    "DRIVER_VERIFIED_R9",
     "HEAD_R6",
     "DEFER_R6",
     "HEAD_R7",
     "HEAD_R8",
     "DEFER_R8",
     "HEAD_R9",
+    "HEAD_CURRENT",
 ]

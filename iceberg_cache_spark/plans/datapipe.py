@@ -1084,17 +1084,16 @@ def _span_base(d: DataFrame) -> DataFrame:
     )
 
 
-def _excision_islands(base: DataFrame) -> DataFrame:
-    """Shared q174/q178 chain (round 10: extracted verbatim from the
-    driver-certified q174 body): exploded spans → top-{SPAN_TOP}
-    registry → broadcast hit probe → doc-partitioned ROWS-frame
-    interval union. Returns one row per MERGED excision island:
-    (doc_id, isl_id, n_tokens, occ, s, e) with [s, e] the 0-based
-    inclusive token range to excise. Plan shape documented on q174."""
+def _exploded_spans(base: DataFrame) -> DataFrame:
+    """Positional {SPAN_K}-token span stream (doc_id, n_tokens, i,
+    span) — the shared front of the span tier (q174/q178 islands,
+    q180 decontamination). Map-side-free explode; recomputed per
+    consumer by design (persisting the exploded corpus would spill
+    multiples of the input at scale)."""
     idx = F.sequence(
         F.lit(0), F.greatest(F.size(F.col("t")) - SPAN_K, F.lit(0))
     )
-    spans = base.select(
+    return base.select(
         "doc_id",
         "n_tokens",
         F.explode(
@@ -1111,6 +1110,16 @@ def _excision_islands(base: DataFrame) -> DataFrame:
     ).select(
         "doc_id", "n_tokens", F.col("s.i").alias("i"), F.col("s.span").alias("span")
     ).filter(F.col("span") != "")
+
+
+def _excision_islands(base: DataFrame) -> DataFrame:
+    """Shared q174/q178 chain (round 10: extracted verbatim from the
+    driver-certified q174 body): exploded spans → top-{SPAN_TOP}
+    registry → broadcast hit probe → doc-partitioned ROWS-frame
+    interval union. Returns one row per MERGED excision island:
+    (doc_id, isl_id, n_tokens, occ, s, e) with [s, e] the 0-based
+    inclusive token range to excise. Plan shape documented on q174."""
+    spans = _exploded_spans(base)
     reg = (
         spans.groupBy("span")
         .agg(
@@ -1340,3 +1349,195 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     ).orderBy("doc_id", "text_clean")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) + benchmark decontamination (r10)
+# ---------------------------------------------------------------------------
+
+PACK_TOKENS = 512  # training-sequence budget (tokens per pack)
+PACK_IDBUCKET = 1024  # doc_ids per prefix-sum bucket (two-level cumsum)
+
+
+@declared(
+    "q179_sequence_packing",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+         WHERE doc_id IS NOT NULL),
+       g AS (SELECT doc_id,
+                    CAST(SUM(COALESCE(len(t), 0)) AS BIGINT) AS n_tokens
+             FROM toks GROUP BY doc_id),
+       f AS (SELECT doc_id, n_tokens FROM g WHERE n_tokens > 0),
+       c AS (SELECT doc_id, n_tokens,
+                    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS start_off
+             FROM f)
+       SELECT doc_id, n_tokens, start_off,
+              CAST(start_off // {PACK_TOKENS} AS BIGINT) AS pack_first,
+              CAST((start_off + n_tokens - 1) // {PACK_TOKENS} AS BIGINT)
+                AS pack_last,
+              CAST((start_off + n_tokens - 1) // {PACK_TOKENS}
+                   - start_off // {PACK_TOKENS} + 1 AS BIGINT)
+                AS packs_spanned,
+              CAST(start_off % {PACK_TOKENS} AS BIGINT) AS off_in_pack
+       FROM c ORDER BY doc_id""",
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence packing, concat-and-chunk style (round 10):
+    documents concatenate in doc_id order into one global token
+    stream chunked into {PACK}-token packs; each doc's placement is
+    (start_off, pack_first, pack_last, packs_spanned, off_in_pack) —
+    docs may split across pack boundaries, exactly how LLM
+    pretraining packs corpora (GPT-3/Llama concat-and-chunk). The
+    whole operator is ONE exact global prefix sum, so the oracle is
+    plain window SQL.
+
+    Scale shape (the reason this isn't one ORDER BY window): a global
+    cumulative sum over 100 TB cannot ride a single-partition window.
+    Two-level decomposition instead — per-doc token counts hash-
+    aggregate into doc_id-bucket subtotals ({IDB} ids per bucket);
+    the bucket-level running offset is a window over n_docs/{IDB}
+    rows (broadcast back, scales to another level exactly like a
+    scan's page→column→file hierarchy if ever needed); the within-
+    bucket prefix sum is a window PARTITIONED by bucket, task size
+    bounded by {IDB} docs. NULL doc_ids are excluded on both engines
+    (packing needs a total order key); empty/NULL texts occupy no
+    stream positions. Duplicate doc_ids (degenerate fixtures) merge
+    into one stream slot via the per-doc pre-aggregate, keeping the
+    prefix sum deterministic under ties."""
+    d = T(spark, sf, "documents").where(F.col("doc_id").isNotNull())
+    nt = F.coalesce(
+        F.when(
+            F.col("t").isNotNull(), F.size("t").cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    g = (
+        d.select("doc_id", _text_tokens(F.col("text")).alias("t"))
+        .select("doc_id", nt.alias("nt"))
+        .groupBy("doc_id")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("bkt", F.expr(f"doc_id DIV {PACK_IDBUCKET}"))
+    )
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    boff = (
+        g.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bt").over(wb), F.lit(0).cast("bigint")).alias(
+                "boff"
+            ),
+        )
+    )
+    w_in = (
+        W.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = g.join(F.broadcast(boff), "bkt").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("boff")
+            + F.coalesce(
+                F.sum("n_tokens").over(w_in), F.lit(0).cast("bigint")
+            )
+        ).alias("start_off"),
+    )
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.expr(f"CAST(start_off DIV {PACK_TOKENS} AS BIGINT)").alias(
+            "pack_first"
+        ),
+        F.expr(
+            f"CAST((start_off + n_tokens - 1) DIV {PACK_TOKENS} AS BIGINT)"
+        ).alias("pack_last"),
+        F.expr(
+            f"CAST((start_off + n_tokens - 1) DIV {PACK_TOKENS} "
+            f"- start_off DIV {PACK_TOKENS} + 1 AS BIGINT)"
+        ).alias("packs_spanned"),
+        F.expr(f"CAST(start_off % {PACK_TOKENS} AS BIGINT)").alias(
+            "off_in_pack"
+        ),
+    ).orderBy("doc_id")
+
+
+q179.__doc__ = q179.__doc__.replace("{PACK}", str(PACK_TOKENS)).replace(
+    "{IDB}", str(PACK_IDBUCKET)
+)
+
+DECON_MOD = 97  # doc_id % MOD == 0 -> the held-out benchmark split
+
+
+@declared(
+    "q180_benchmark_decontam",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       base AS (SELECT doc_id, t, COALESCE(len(t), 0) AS n_tokens FROM toks),
+       spans AS (
+         SELECT doc_id,
+                array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+{SPAN_K} AS BIGINT)],
+                                ' ') AS span
+         FROM base,
+              UNNEST(range(greatest(n_tokens - {SPAN_K - 1}, 1))) AS u(i)),
+       f AS (SELECT DISTINCT doc_id, span FROM spans WHERE span <> ''),
+       bench AS (SELECT doc_id AS bdoc, span FROM f
+                 WHERE doc_id % {DECON_MOD} = 0),
+       corp AS (SELECT doc_id, span FROM f
+                WHERE doc_id IS NULL OR doc_id % {DECON_MOD} <> 0),
+       hit AS (SELECT c.doc_id, c.span, b.bdoc
+               FROM corp c JOIN bench b ON c.span = b.span)
+       SELECT doc_id,
+              CAST(COUNT(DISTINCT span) AS BIGINT) AS n_shared_spans,
+              CAST(COUNT(DISTINCT bdoc) AS BIGINT) AS n_bench_docs
+       FROM hit GROUP BY doc_id ORDER BY doc_id""",
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (round 10): flag training documents
+    sharing any {K}-token span with the held-out benchmark split
+    (doc_id % {MOD} == 0 — the fixture's stand-in for an eval set),
+    the GPT-3/Llama n-gram-collision decontamination pass. Output per
+    contaminated doc: distinct shared spans and distinct benchmark
+    docs matched.
+
+    Scale shape: the benchmark side of the span join is SMALL by
+    nature (eval sets are thousands of docs against a 100 TB corpus)
+    — its distinct (span, bench_doc) pairs broadcast, so the corpus
+    span stream is probed map-side with NO shuffle of the exploded
+    corpus; the only shuffle is the per-doc count-distinct aggregate
+    on the (tiny) hit stream. Span explode reuses the q174/q178
+    positional stream (recompute-don't-persist). NULL doc_ids count
+    as corpus (they cannot be benchmark members; the IS NULL arm
+    keeps the engines' NULL%k semantics aligned)."""
+    base = _span_base(T(spark, sf, "documents"))
+    all_spans = _exploded_spans(base).select("doc_id", "span")
+    # distinct ONLY the broadcast side: the corpus stream keeps its
+    # duplicate occurrences (the final count_distinct dedups) — a
+    # corpus-wide distinct would shuffle the whole exploded stream
+    bench = (
+        all_spans.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select(F.col("doc_id").alias("bdoc"), "span")
+        .distinct()
+    )
+    corp = all_spans.filter(
+        F.col("doc_id").isNull() | (F.col("doc_id") % DECON_MOD != 0)
+    )
+    hit = corp.join(F.broadcast(bench), "span")
+    return (
+        hit.groupBy("doc_id")
+        .agg(
+            F.count_distinct("span").cast("bigint").alias("n_shared_spans"),
+            F.count_distinct("bdoc").cast("bigint").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+q180.__doc__ = q180.__doc__.replace("{K}", str(SPAN_K)).replace(
+    "{MOD}", str(DECON_MOD)
+)

@@ -51,18 +51,19 @@ def test_q96_emits_only_scalar_columns(spark, sf_dir):
 
 
 def test_registry_orders_stalest_evidence_first():
-    """Round-9 protocol: HEAD_R9 leads (the four r8-red rows carrying
-    the BIGINT-cents fix), then oracle-matched names with no driver
-    row yet, then every other oracle-matched name sorted stalest
-    driver evidence FIRST (freshest certifying round ascending), and
-    rows-only names dead LAST (all carry their `no_oracle` rows; they
-    spend no driver slots)."""
+    """Round-10 protocol: HEAD_CURRENT leads (EMPTY this round — the
+    r9 driver certified every HEAD_R9 row, so no red rows carry a
+    fix), then oracle-matched names with no driver row yet, then
+    every other oracle-matched name sorted stalest driver evidence
+    FIRST (freshest certifying round ascending), and rows-only names
+    dead LAST (all carry their `no_oracle` rows; they spend no driver
+    slots)."""
     import iceberg_cache_spark.plans as P
-    from iceberg_cache_spark.plans import HEAD_R9, ORACLE, QUERIES
+    from iceberg_cache_spark.plans import HEAD_CURRENT, ORACLE, QUERIES
 
     names = list(QUERIES)
     freshest = P._FRESHEST_ROUND
-    head = list(HEAD_R9)
+    head = list(HEAD_CURRENT)
     new_unverified = [
         n
         for n in names

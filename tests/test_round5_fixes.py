@@ -439,4 +439,8 @@ def test_assert_star_forest_releases_probe_blocks(spark):
     base = len(jsc.getRDDStorageInfo())
     e = spark.createDataFrame([(1, 0), (2, 0), (5, 4)], ["u", "v"])
     _assert_star_forest(e)
-    assert len(jsc.getRDDStorageInfo()) - base == 0
+    # <= not ==: the leak check is "no NEW blocks"; the async
+    # ContextCleaner may release an earlier test's blocks between the
+    # base capture and here, making the delta negative in a full-suite
+    # run (observed r10 — exact-zero was order-flaky)
+    assert len(jsc.getRDDStorageInfo()) - base <= 0

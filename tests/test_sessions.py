@@ -480,3 +480,92 @@ def test_gapfill_outlier_span_slab_guard(spark):
     # the guard property itself: no generated slab exceeds the bound
     slab_rows = _dense_series(_gapfill_obs(e)).groupBy("uk").count().first()
     assert slab_rows["count"] == n
+
+
+def test_sequence_packing_planted(spark, tmp_path):
+    """q179 planted semantics: concat-and-chunk placement is an exact
+    global prefix sum in doc_id order — pack indices and in-pack
+    offsets follow from integer division by the budget; a doc
+    straddling a boundary spans both packs; empty/NULL texts occupy
+    no stream positions. Hash-checked against the declared oracle on
+    the same parquet plus hand asserts (PACK_TOKENS=512 -> use long
+    synthetic docs to cross a boundary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES
+    from iceberg_cache_spark.plans.datapipe import PACK_TOKENS
+    from tests.oracle import compare
+
+    texts = [
+        "w " * 300,   # doc 0: 300 tokens -> [0, 299]
+        "w " * 300,   # doc 1: 300 tokens -> [300, 599] straddles 512
+        "",           # doc 2: empty -> absent
+        None,         # doc 3: NULL -> absent
+        "w " * 10,    # doc 4: 10 tokens -> [600, 609]
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], pa.int64()
+            ),
+            "source": pa.array(["t"] * len(texts)),
+        }
+    )
+    d = tmp_path / "packfix"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    res = QUERIES["q179_sequence_packing"](spark, str(d))
+    compare(res, ORACLE["q179_sequence_packing"], str(d))
+    got = {
+        r.doc_id: (r.start_off, r.pack_first, r.pack_last,
+                   r.packs_spanned, r.off_in_pack)
+        for r in res.collect()
+    }
+    assert PACK_TOKENS == 512
+    assert got[0] == (0, 0, 0, 1, 0)
+    assert got[1] == (300, 0, 1, 2, 300)   # straddles the 512 boundary
+    assert got[4] == (600, 1, 1, 1, 88)
+    assert 2 not in got and 3 not in got
+
+
+def test_benchmark_decontam_planted(spark, tmp_path):
+    """q180 planted semantics: doc 0 (0 % 97 == 0) is the benchmark
+    split; a corpus doc repeating one of its 5-token spans is flagged
+    with distinct-span/bench-doc counts; a clean doc is absent; the
+    benchmark doc itself never appears as contaminated."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES
+    from tests.oracle import compare
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",        # 0: benchmark
+        "x alpha beta gamma delta epsilon y",         # 1: shares 2 spans
+        "completely clean text with no overlap at",   # 2: clean
+        "alpha beta gamma delta epsilon",             # 3: shares 2 spans
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "source": pa.array(["t"] * len(texts)),
+        }
+    )
+    d = tmp_path / "deconfix"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    res = QUERIES["q180_benchmark_decontam"](spark, str(d))
+    compare(res, ORACLE["q180_benchmark_decontam"], str(d))
+    got = {r.doc_id: (r.n_shared_spans, r.n_bench_docs)
+           for r in res.collect()}
+    # doc 0's spans: 'alpha..epsilon' (i=0) and 'beta..zeta' (i=1)
+    assert got[1] == (1, 1)   # contains 'alpha beta gamma delta epsilon'
+    assert got[3] == (1, 1)   # the whole doc IS that span
+    assert 0 not in got and 2 not in got
