@@ -540,3 +540,141 @@ def perceptual_near_dup_pairs(
         max_hamming=max_hamming,
         max_bucket=max_bucket,
     )
+
+
+def resize_ppm(
+    df: DataFrame, id_col: str = "doc_id", factor: int = 2
+) -> DataFrame:
+    """Image resize over (id, payload): decode the PPM raster through
+    the REAL baseline codec, box-mean downscale by an integer
+    ``factor`` (the kernel mean of each factor×factor block, floor —
+    the standard antialiased integer downscale), re-encode as P6.
+    Emits (id, payload, width, height) with the OUTPUT dimensions, so
+    the stage composes with :func:`decode_features` /
+    :func:`perceptual_hashes` downstream — resize→re-decode is a real
+    roundtrip, not a metadata rewrite.
+
+    Arrow-batched ``mapInPandas``, zero shuffle — like the other
+    media stages it rides the scan's own partitioning (the only
+    scale-correct shape for a 100 TB lake). Rasters are cropped to
+    the largest factor-divisible region first (PIL semantics for
+    exact integer pooling); NULL and non-image payloads pass through
+    as NULL rows rather than crashing workers."""
+    if factor < 1:
+        raise ValueError("resize factor must be >= 1")
+
+    def run(batches):
+        import numpy as np
+        import pandas as _pd
+
+        from iceberg_cache_spark.operators.multimodal import (
+            decode_media as _decode,
+            encode_ppm as _eppm,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None))
+                    continue
+                try:
+                    d = _decode(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, None, None, None))
+                    continue
+                if d["modality"] != "image":
+                    rows.append((doc_id, None, None, None))
+                    continue
+                px = d["pixels"]
+                h, w = px.shape[0], px.shape[1]
+                oh, ow = h // factor, w // factor
+                if oh == 0 or ow == 0:
+                    rows.append((doc_id, None, None, None))
+                    continue
+                crop = px[: oh * factor, : ow * factor].astype(np.int64)
+                pooled = (
+                    crop.reshape(oh, factor, ow, factor, 3)
+                    .sum(axis=(1, 3))
+                    // (factor * factor)
+                ).astype(np.uint8)
+                rows.append(
+                    (doc_id, _eppm(pooled.tobytes(), width=ow), ow, oh)
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "payload", "width", "height"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    return df.select(id_col, "payload").mapInPandas(run, schema)
+
+
+def resample_wav(
+    df: DataFrame, id_col: str = "doc_id", factor: int = 2
+) -> DataFrame:
+    """Audio resample (integer decimation) over (id, payload): decode
+    the RIFF/WAV PCM stream through the real codec, keep every
+    ``factor``-th sample, re-encode at sample_rate/factor — the audio
+    twin of :func:`resize_ppm` (the naive-but-exact integer
+    downsample; a band-limited resampler would need scipy, which the
+    container lacks — the Spark-side contract is identical either
+    way). Emits (id, payload, sample_rate, n_samples) for the OUTPUT
+    stream; NULL / non-audio / multi-channel payloads pass through as
+    NULL rows. Arrow-batched ``mapInPandas``, zero shuffle."""
+    if factor < 1:
+        raise ValueError("resample factor must be >= 1")
+
+    def run(batches):
+        import pandas as _pd
+
+        from iceberg_cache_spark.operators.multimodal import (
+            decode_media as _decode,
+            encode_wav as _ewav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None))
+                    continue
+                try:
+                    d = _decode(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, None, None, None))
+                    continue
+                if d["modality"] != "audio" or d["n_channels"] != 1:
+                    rows.append((doc_id, None, None, None))
+                    continue
+                dec = d["samples"][::factor]
+                rate = max(d["sample_rate"] // factor, 1)
+                rows.append(
+                    (
+                        doc_id,
+                        _ewav(dec.tobytes(), sample_rate=rate,
+                              bits=d["bits"]),
+                        rate,
+                        int(dec.shape[0]),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "payload", "sample_rate", "n_samples"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+        ]
+    )
+    return df.select(id_col, "payload").mapInPandas(run, schema)

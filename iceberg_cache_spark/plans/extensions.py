@@ -533,6 +533,133 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declared(
+    "q181_image_resize_roundtrip",
+    """SELECT doc_id,
+              CASE WHEN text IS NULL THEN NULL ELSE 4 END AS width,
+              CASE WHEN text IS NULL THEN NULL ELSE 4 END AS height,
+              CASE WHEN text IS NULL THEN NULL
+                   ELSE md5(rpad(substr(text, 1, 48), 48, ' '))
+              END AS decoded_md5
+       FROM documents ORDER BY doc_id""",
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    """Image resize roundtrip (round 10): synth → REAL PPM decode →
+    2×2 box-mean downscale → P6 re-encode → REAL re-decode → md5,
+    closing the brief's decode/feature/RESIZE/frame-sample quartet
+    with the last member hash-matched end-to-end.
+
+    Golden-oracle construction (q173's pattern, one step further):
+    the synth builds an 8×8 raster whose every 2×2 block is CONSTANT
+    — block (R, C) holds byte triple ((R*4)+C) of the doc's
+    space-padded 48-byte text prefix — so the exact box mean of each
+    block is that byte and the RESIZED 4×4 raster is literally the
+    text prefix. The oracle is then md5(rpad(substr(text,1,48))) in
+    pure SQL, and any defect in decode, crop, pooling arithmetic,
+    re-encode, or re-decode breaks the hash. ASCII asserted like
+    q173 (1 char must equal 1 byte). NULL texts ride through as NULL
+    payloads → NULL feature rows on both engines."""
+
+    def synth(batches):
+        import pandas as _pd
+
+        from iceberg_cache_spark.operators.multimodal import (
+            encode_ppm as _eppm,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(doc_id)
+                if text is None or _pd.isna(text):
+                    payloads.append(None)
+                    continue
+                s = str(text)
+                if not s.isascii():
+                    raise ValueError(
+                        "q181 fixture text must be ASCII (oracle equates "
+                        f"chars with bytes); offending doc_id={doc_id!r}"
+                    )
+                target = s.encode("utf-8")[:48].ljust(48, b" ")
+                raster = bytearray()
+                for r in range(8):
+                    for c in range(8):
+                        base = ((r // 2) * 4 + (c // 2)) * 3
+                        raster += target[base : base + 3]
+                payloads.append(_eppm(bytes(raster), width=8))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    media = d.mapInPandas(synth, "doc_id long, payload binary")
+    resized = M.resize_ppm(media, "doc_id", factor=2)
+    return (
+        M.decode_features(resized.select("doc_id", "payload"), "doc_id")
+        .select("doc_id", "width", "height", "decoded_md5")
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q182_audio_resample_roundtrip",
+    """SELECT doc_id,
+              CASE WHEN text IS NULL THEN NULL ELSE 4000 END AS sample_rate,
+              CASE WHEN text IS NULL THEN NULL
+                   ELSE CAST(48 AS BIGINT) END AS n_samples,
+              CASE WHEN text IS NULL THEN NULL
+                   ELSE md5(rpad(substr(text, 1, 48), 48, ' '))
+              END AS decoded_md5
+       FROM documents ORDER BY doc_id""",
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio resample roundtrip (round 10) — q181's twin for the
+    audio path: synth → REAL WAV decode → 2:1 decimation → re-encode
+    at half rate → REAL re-decode → md5.
+
+    Golden construction: the synth interleaves the doc's space-padded
+    48-byte text prefix with zero samples (8-bit PCM, 96 samples at
+    8 kHz), so keeping every 2nd sample yields EXACTLY the text
+    prefix at 4 kHz and the oracle is the same
+    md5(rpad(substr(text, 1, 48))) SQL as q181 — any defect in the
+    8-bit decode branch, the stride, the rate arithmetic, or the
+    re-encode breaks the hash. ASCII asserted as in q173/q181."""
+
+    def synth(batches):
+        import pandas as _pd
+
+        from iceberg_cache_spark.operators.multimodal import (
+            encode_wav as _ewav,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(doc_id)
+                if text is None or _pd.isna(text):
+                    payloads.append(None)
+                    continue
+                s = str(text)
+                if not s.isascii():
+                    raise ValueError(
+                        "q182 fixture text must be ASCII (oracle equates "
+                        f"chars with bytes); offending doc_id={doc_id!r}"
+                    )
+                target = s.encode("utf-8")[:48].ljust(48, b" ")
+                pcm = bytes(
+                    b for byte in target for b in (byte, 0)
+                )
+                payloads.append(_ewav(pcm, sample_rate=8000, bits=8))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    media = d.mapInPandas(synth, "doc_id long, payload binary")
+    resampled = M.resample_wav(media, "doc_id", factor=2)
+    return (
+        M.decode_features(resampled.select("doc_id", "payload"), "doc_id")
+        .select("doc_id", "sample_rate", "n_samples", "decoded_md5")
+        .orderBy("doc_id")
+    )
+
+
+@declared(
     "q91_doc_chunking",
     f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
        c AS (SELECT doc_id, i AS chunk_id,

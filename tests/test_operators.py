@@ -658,3 +658,74 @@ def test_hamming_band_pairs_respects_groups(spark):
     out = hamming_band_pairs(df, "doc_id", "phash", group_cols=("modality",))
     assert [(r.id_a, r.id_b, r.modality, r.hamming) for r in out.collect()] \
         == [(1, 3, "image", 0)]
+
+
+def test_resize_ppm_box_mean_crop_and_passthrough(spark):
+    """resize_ppm: floor box-mean on non-constant blocks, odd rasters
+    crop to the divisible region, factor=1 is identity, NULL/audio
+    payloads pass through as NULL rows."""
+    import numpy as np
+
+    from iceberg_cache_spark.operators import multimodal as M
+
+    # 2x4 raster; left 2x2 block channel-0 values 1,2,3,4 -> mean 2
+    # (floor of 2.5 avoided: 1+2+3+4=10 -> 10//4=2); right block all 9
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[0, 0, 0], px[0, 1, 0], px[1, 0, 0], px[1, 1, 0] = 1, 2, 3, 4
+    px[:, 2:, :] = 9
+    ppm = M.encode_ppm(px.tobytes(), width=4)
+    wav = M.encode_wav(b"0123456789ABCDEF")
+    df = spark.createDataFrame(
+        [(1, ppm), (2, None), (3, wav)], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in M.resize_ppm(df, factor=2).collect()}
+    assert (out[1].width, out[1].height) == (2, 1)
+    d = M.decode_ppm(bytes(out[1].payload))
+    assert d["pixels"][0, 0, 0] == 2      # floor((1+2+3+4)/4)
+    assert (d["pixels"][0, 1] == 9).all() # constant block exact
+    assert out[2].payload is None and out[3].payload is None
+
+    # odd dimensions crop: 3x3 -> 1x1 from the top-left 2x2
+    px3 = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    ppm3 = M.encode_ppm(px3.tobytes(), width=3)
+    r3 = M.resize_ppm(
+        spark.createDataFrame([(7, ppm3)], "doc_id long, payload binary"),
+        factor=2,
+    ).first()
+    assert (r3.width, r3.height) == (1, 1)
+    exp = px3[:2, :2].astype(int).sum(axis=(0, 1)) // 4
+    assert list(M.decode_ppm(bytes(r3.payload))["pixels"][0, 0]) == list(exp)
+
+    # factor=1 identity
+    r1 = M.resize_ppm(
+        spark.createDataFrame([(8, ppm)], "doc_id long, payload binary"),
+        factor=1,
+    ).first()
+    assert bytes(r1.payload) == ppm
+
+
+def test_resample_wav_decimation_and_passthrough(spark):
+    """resample_wav: stride-2 decimation halves the rate and keeps
+    even-index samples exactly (16-bit path); NULL/image payloads pass
+    through as NULL rows; factor=1 is identity."""
+    import numpy as np
+
+    from iceberg_cache_spark.operators import multimodal as M
+
+    samples = np.arange(-5, 5, dtype="<i2")  # 10 samples incl. negatives
+    wav = M.encode_wav(samples.tobytes(), sample_rate=8000, bits=16)
+    ppm = M.encode_ppm(bytes(range(36)), width=3)
+    df = spark.createDataFrame(
+        [(1, wav), (2, None), (3, ppm)], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in M.resample_wav(df, factor=2).collect()}
+    assert (out[1].sample_rate, out[1].n_samples) == (4000, 5)
+    d = M.decode_wav(bytes(out[1].payload))
+    assert list(d["samples"]) == list(samples[::2])
+    assert out[2].payload is None and out[3].payload is None
+
+    r1 = M.resample_wav(
+        spark.createDataFrame([(9, wav)], "doc_id long, payload binary"),
+        factor=1,
+    ).first()
+    assert bytes(r1.payload) == wav
