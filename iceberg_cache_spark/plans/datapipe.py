@@ -1356,7 +1356,14 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PACK_TOKENS = 512  # training-sequence budget (tokens per pack)
-PACK_IDBUCKET = 1024  # doc_ids per prefix-sum bucket (two-level cumsum)
+# doc_ids per prefix-sum bucket. Sizing is the two-level tradeoff: the
+# within-bucket window task scans <= PACK_IDBUCKET docs, and the
+# bucket-subtotal window scans n_docs/PACK_IDBUCKET rows in ONE task.
+# 65536 keeps both ends sane to ~100B docs (1.5M narrow bucket rows —
+# seconds sequentially); a corpus past that adds a third level, same
+# decomposition. The constant cannot change RESULTS — it only
+# partitions the exact prefix-sum computation.
+PACK_IDBUCKET = 65536
 
 
 @declared(
@@ -1398,8 +1405,9 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     Two-level decomposition instead — per-doc token counts hash-
     aggregate into doc_id-bucket subtotals ({IDB} ids per bucket);
     the bucket-level running offset is a window over n_docs/{IDB}
-    rows (broadcast back, scales to another level exactly like a
-    scan's page→column→file hierarchy if ever needed); the within-
+    narrow rows — one task, fine to ~100B docs at this bucket size,
+    and a third level of the same decomposition covers anything past
+    that; the within-
     bucket prefix sum is a window PARTITIONED by bucket, task size
     bounded by {IDB} docs. NULL doc_ids are excluded on both engines
     (packing needs a total order key); empty/NULL texts occupy no
