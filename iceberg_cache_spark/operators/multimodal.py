@@ -475,23 +475,17 @@ def dhash64_audio(samples) -> int:
     return v - (1 << 64) if v >= 1 << 63 else v
 
 
-PHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("modality", T.StringType()),
-        T.StructField("phash", T.LongType()),
-    ]
-)
-
-
 def perceptual_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, payload) → (id, modality, 64-bit perceptual hash) through
     the REAL baseline decode (magic-byte dispatch, same as
     :func:`decode_features`): WAV → energy-gradient hash, PPM → dHash.
     Arrow-batched ``mapInPandas``, zero shuffle — hashing rides the
     scan's own partitioning, the only scale-correct shape for a 100 TB
-    media lake. NULL payloads yield a NULL hash row (dropped by the
-    pair stage, never a worker crash)."""
+    media lake. NULL, undecodable (compressed formats without env
+    codecs), and too-small-to-hash payloads all yield a NULL hash row
+    (dropped by the pair stage) — a real lake's bad rows must never
+    kill the job. The output id column keeps the caller's ``id_col``
+    name so downstream stages compose without a rename."""
 
     def run(batches):
         import pandas as _pd
@@ -508,16 +502,26 @@ def perceptual_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if payload is None:
                     rows.append((doc_id, None, None))
                     continue
-                d = _decode(bytes(payload))
-                if d["modality"] == "audio":
-                    rows.append((doc_id, "audio", _dha(d["samples"])))
-                else:
-                    rows.append((doc_id, "image", _dhi(d["pixels"])))
+                try:
+                    d = _decode(bytes(payload))
+                    if d["modality"] == "audio":
+                        rows.append((doc_id, "audio", _dha(d["samples"])))
+                    else:
+                        rows.append((doc_id, "image", _dhi(d["pixels"])))
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, None, None))
             yield _pd.DataFrame(
-                rows, columns=["doc_id", "modality", "phash"]
+                rows, columns=[id_col, "modality", "phash"]
             )
 
-    return df.select(id_col, "payload").mapInPandas(run, PHASH_SCHEMA)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    return df.select(id_col, "payload").mapInPandas(run, schema)
 
 
 def perceptual_near_dup_pairs(
@@ -602,12 +606,12 @@ def resize_ppm(
                     (doc_id, _eppm(pooled.tobytes(), width=ow), ow, oh)
                 )
             yield _pd.DataFrame(
-                rows, columns=["doc_id", "payload", "width", "height"]
+                rows, columns=[id_col, "payload", "width", "height"]
             )
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("payload", T.BinaryType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
@@ -666,12 +670,12 @@ def resample_wav(
                 )
             yield _pd.DataFrame(
                 rows,
-                columns=["doc_id", "payload", "sample_rate", "n_samples"],
+                columns=[id_col, "payload", "sample_rate", "n_samples"],
             )
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("payload", T.BinaryType()),
             T.StructField("sample_rate", T.IntegerType()),
             T.StructField("n_samples", T.LongType()),
