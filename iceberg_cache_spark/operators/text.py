@@ -20,10 +20,31 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Engine-dialect-proof regex fragments, shared verbatim with the DuckDB
+# oracle SQL (tests/test_round11_fixes.py pins the parity on adversarial
+# text). Two traps these sidestep:
+#   * `\s`: Java's is [ \t\n\x0B\f\r] but RE2's lacks \x0B — spelled out
+#     explicitly so both engines see the identical class;
+#   * unicode lowercasing: the JVM and utf8proc tables disagree on edge
+#     codepoints (U+0130 İ → 'i'+U+0307 on the JVM vs 'i' in DuckDB), so
+#     lower() must only ever run AFTER non-ASCII is stripped, or be the
+#     ASCII-only translate() in fingerprint().
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of lowercased, punctuation-stripped text."""
-    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
-    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+    """Whitespace tokens of lowercased, punctuation-stripped text.
+
+    Non-alphanumerics are stripped BEFORE lowercasing so lower() only
+    ever sees ASCII [A-Za-z0-9 ] — making the token stream provably
+    identical between the JVM and any RE2/utf8proc-based oracle engine
+    for arbitrary valid UTF-8 (each non-ASCII codepoint → space in both;
+    surrogate-pair halves each map to a space on the JVM, collapsed by
+    the split)."""
+    cleaned = F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]", " "))
+    return F.filter(F.split(cleaned, " +"), lambda t: t != "")
 
 
 def token_count(col: Column) -> Column:
@@ -43,8 +64,13 @@ def char_count(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are punctuation (0 for empty text)."""
-    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    """Fraction of characters that are punctuation (0 for empty text).
+
+    `[^\\w\\s]` spelled out with the explicit whitespace class: Java and
+    RE2 agree that \\w is ASCII [A-Za-z0-9_], but disagree on \\s (\\x0B)."""
+    n_punct = F.length(col) - F.length(
+        F.regexp_replace(col, "[^A-Za-z0-9_" + WS_CLASS[1:], "")
+    )
     return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(0.0)
 
 
@@ -118,9 +144,15 @@ def lang_id(col: Column) -> Column:
 
 
 def fingerprint(col: Column) -> Column:
-    """Document fingerprint: md5 of whitespace-normalized, lowercased
-    text (canonical content hash used for exact near-normalized dedup)."""
-    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    """Document fingerprint: md5 of whitespace-normalized, ASCII-lowercased
+    text (canonical content hash used for exact near-normalized dedup).
+
+    translate() lowers ONLY A-Z: full lower() would run the engine's
+    unicode tables over arbitrary text, and the JVM vs utf8proc disagree
+    on edge codepoints — one divergent byte flips the whole md5. The
+    whitespace run-collapse uses the explicit class for the same reason."""
+    lowered = F.translate(col, ASCII_UPPER, ASCII_LOWER)
+    normalized = F.regexp_replace(F.trim(lowered), WS_CLASS + "+", " ")
     return F.md5(normalized.cast("binary"))
 
 

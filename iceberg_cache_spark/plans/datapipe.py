@@ -238,8 +238,8 @@ from iceberg_cache_spark.plans.registry import ORACLE  # noqa: E402
     "q154_normalized_dedup",
     """WITH norm AS (
          SELECT doc_id,
-                md5(trim(regexp_replace(regexp_replace(lower(text),
-                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+                md5(trim(regexp_replace(lower(regexp_replace(text,
+                    '[^A-Za-z0-9 ]', '', 'g')), ' +', ' ', 'g'))) AS fp
          FROM documents),
        reps AS (SELECT fp, MIN(doc_id) AS rep_id FROM norm GROUP BY fp)
        SELECT n.doc_id, r.rep_id,
@@ -250,7 +250,9 @@ from iceberg_cache_spark.plans.registry import ORACLE  # noqa: E402
 )
 def q154(spark: SparkSession, sf: str) -> DataFrame:
     """Normalization-insensitive exact dedup (the FineWeb/C4 preprocessing
-    step BEFORE fingerprinting): lowercase, strip non-alphanumerics,
+    step BEFORE fingerprinting): strip non-alphanumerics, lowercase (the
+    strip comes FIRST so lower() only sees ASCII — JVM vs utf8proc
+    unicode tables diverge on edge codepoints, r11),
     collapse whitespace, then md5 → keep the min-doc_id representative
     per normalized fingerprint. Catches the case/punctuation/spacing
     variants plain md5 dedup (q60) misses. Plan: scan-local string
@@ -261,7 +263,7 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
     fp = F.md5(
         F.trim(
             F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                F.lower(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", "")),
                 " +",
                 " ",
             )
@@ -1376,9 +1378,9 @@ PACK_IDBUCKET = 65536
              FROM toks GROUP BY doc_id),
        f AS (SELECT doc_id, n_tokens FROM g WHERE n_tokens > 0),
        c AS (SELECT doc_id, n_tokens,
-                    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                        0) AS start_off
+                        0) AS BIGINT) AS start_off
              FROM f)
        SELECT doc_id, n_tokens, start_off,
               CAST(start_off // {PACK_TOKENS} AS BIGINT) AS pack_first,
@@ -1549,3 +1551,36 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
 q180.__doc__ = q180.__doc__.replace("{K}", str(SPAN_K)).replace(
     "{MOD}", str(DECON_MOD)
 )
+
+
+@declared(
+    "q183_token_count_probe",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+         WHERE doc_id IS NOT NULL)
+       SELECT doc_id, CAST(COALESCE(len(t), 0) AS BIGINT) AS n_tokens
+       FROM toks ORDER BY doc_id""",
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    """One-construct diagnostic probe (round 11, VERDICT r10 #1): the
+    q179 packing pipeline's FIRST stage — per-doc token counts — and
+    nothing else. q179's global prefix sum amplifies a single
+    divergent count into a whole-corpus hash mismatch; when q179 reds,
+    this probe bisects it in one look: q183 red → tokenizer drift
+    (engine dialect, q169-style localization); q183 green →
+    cumsum/packing arithmetic. Pure scan-local map work, no shuffle
+    beyond the output sort."""
+    d = T(spark, sf, "documents").where(F.col("doc_id").isNotNull())
+    return (
+        d.select(
+            "doc_id",
+            F.coalesce(
+                F.when(
+                    F.col("text").isNotNull(),
+                    F.size(_text_tokens(F.col("text"))).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -21,11 +21,28 @@ from iceberg_cache_spark.plans.registry import declared
 from iceberg_cache_spark.sources.testdata import load_table as T
 from iceberg_cache_spark.streaming import windows as SW
 
-# DuckDB fragment mirroring operators.text.tokens()
+# DuckDB fragment mirroring operators.text.tokens(): non-alphanumerics
+# become spaces BEFORE lower() so the lowercasing only ever touches
+# ASCII — the JVM and utf8proc unicode tables disagree on edge
+# codepoints (r11; tests/test_round11_fixes.py pins the parity).
 _DUCK_TOKS = (
-    "list_filter(string_split_regex(trim(regexp_replace(lower({c}), "
-    "'[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+    "list_filter(string_split_regex(lower(regexp_replace({c}, "
+    "'[^A-Za-z0-9]', ' ', 'g')), ' +'), x -> x <> '')"
 )
+
+# DuckDB fragment mirroring operators.text.fingerprint(): ASCII-only
+# translate() lowercasing (full lower() runs engine-specific unicode
+# tables — one divergent byte flips the md5) + the explicit whitespace
+# class (Java \s has \x0B, RE2's does not).
+_DUCK_FP = (
+    "md5(regexp_replace(trim(translate({c}, "
+    f"'{X.ASCII_UPPER}', '{X.ASCII_LOWER}')), "
+    f"'{X.WS_CLASS}+', ' ', 'g'))"
+)
+
+# `[^\w\s]` with both classes spelled out (Java \s ∋ \x0B, RE2 \s ∌ \x0B;
+# \w is ASCII [A-Za-z0-9_] in both) — shared by punct_ratio() mirrors.
+_DUCK_PUNCT = "[^A-Za-z0-9_" + X.WS_CLASS[1:]
 
 
 # ---------------------------------------------------------------------------
@@ -49,7 +66,7 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
 @declared(
     "q61_fingerprint_dedup",
     f"""WITH fp AS (SELECT doc_id,
-             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+             {_DUCK_FP.format(c='text')} AS fp
            FROM documents)
        SELECT fp, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS keeper
        FROM fp GROUP BY fp ORDER BY fp""",
@@ -132,7 +149,7 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     "q66_quality_score",
     f"""WITH t AS (
          SELECT doc_id, text, {_DUCK_TOKS.format(c='text')} AS toks,
-                length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                length(text) - length(regexp_replace(text, '{_DUCK_PUNCT}', '', 'g'))
                   AS n_punct
          FROM documents),
        r AS (
@@ -786,7 +803,7 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 
 _QUALITY_CTE = f"""
 WITH t AS (SELECT doc_id, text, {_DUCK_TOKS.format(c='text')} AS toks,
-       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+       length(text) - length(regexp_replace(text, '{_DUCK_PUNCT}', '', 'g')) AS n_punct
      FROM documents),
 r AS (SELECT doc_id, toks,
     CASE WHEN length(text) > 0 THEN n_punct / CAST(length(text) AS DOUBLE)
@@ -858,10 +875,10 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
     r"""SELECT doc_id,
               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS alpha_runs,
               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_runs,
-              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_marks,
+              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS punct_marks,
               CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
                    + len(regexp_extract_all(text, '[0-9]+'))
-                   + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+                   + len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT)
                 AS bpeish_tokens
        FROM documents ORDER BY doc_id""",
 )
@@ -873,7 +890,7 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     alpha = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0))).cast("bigint")
     digit = F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).cast("bigint")
     punct = F.size(
-        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9" + X.WS_CLASS[1:]), F.lit(0))
     ).cast("bigint")
     return d.select(
         "doc_id",
@@ -1606,7 +1623,7 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
          WHERE d.source <> 'src0' AND l.quality >= 0.5),
        fp AS (
          SELECT d.doc_id,
-                md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS fp
+                {_DUCK_FP.format(c='d.text')} AS fp
          FROM documents d JOIN kept k ON k.doc_id = d.doc_id),
        reps AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
        toks5 AS (SELECT doc_id, source, {_DUCK_TOKS.format(c='text')} AS tt

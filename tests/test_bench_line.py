@@ -29,12 +29,12 @@ def test_compact_line_under_budget_on_committed_payload():
     # and it round-trips as strict JSON (no NaN/Infinity)
     parsed = json.loads(line, parse_constant=lambda c: (_ for _ in ()).throw(ValueError(c)))
     assert parsed["metric"] == payload["metric"]
-    # near-full coverage: at most ~12% of the CHEAPEST queries may be
-    # dropped from the line (explicitly counted; full dict is in
-    # BENCH_local.json) — every multi-second query must be on the line.
-    # The bound scales with corpus size: the char budget is fixed, so a
-    # growing registry necessarily drops more of the sub-second tail.
-    assert parsed["queries_omitted"] <= max(15, parsed["queries_n"] // 8)
+    # near-full coverage: only the CHEAPEST tail may be dropped from
+    # the line (explicitly counted; full dict is in BENCH_local.json)
+    # — every multi-second query must be on the line. The bound is
+    # bench.max_omitted, a single policy shared with the emitter so
+    # the two cannot drift (r10: a hand-scaled copy here failed by 1).
+    assert parsed["queries_omitted"] <= bench.max_omitted(parsed["queries_n"])
     assert parsed["queries_n"] == len(payload["queries"])
     assert len(parsed["queries"]) + parsed["queries_omitted"] == parsed["queries_n"]
     slowest = sorted(payload["queries"].values())[-20:]
