@@ -100,15 +100,20 @@ def decode_wav(payload: bytes) -> dict:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (clen,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
-            data = body
-        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    try:
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    except struct.error as exc:
+        # A truncated fmt/size chunk must surface as the same "bad row"
+        # class the mapInPandas bodies already tolerate, not kill the task.
+        raise ValueError(f"truncated RIFF chunk: {exc}") from exc
     if fmt is None or data is None:
         raise ValueError("WAV payload missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt

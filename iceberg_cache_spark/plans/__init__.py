@@ -192,12 +192,16 @@ HEAD_R9 = (
     "q172_rolling_window_auto",
 )
 
-# Round 10: the r9 driver certified every HEAD_R9 row green
-# (CORRECTNESS_r09.json), so there are no red rows to lead — the head
-# tier is EMPTY and the window is pure freshness rotation (new queries
-# first, then stalest evidence). A future round with driver-red rows
-# repopulates this tuple with the names carrying its fix.
-HEAD_CURRENT: tuple[str, ...] = ()
+# Round 11: the r10 driver left ONE red row — q179's value hash, root
+# cause the oracle's uncast HUGEINT window sum rendered as float64 at
+# the Arrow layer (fixed: BIGINT cast + the compare()-level type-family
+# gate + tools/audit_oracle_types.py). q179 re-leads carrying the fix,
+# followed by q183, the one-construct token-count probe that bisects
+# any residual red into tokenizer-vs-cumsum.
+HEAD_CURRENT: tuple[str, ...] = (
+    "q179_sequence_packing",
+    "q183_token_count_probe",
+)
 
 
 def _priority(name: str) -> tuple[int, int, int]:
@@ -359,6 +363,31 @@ DRIVER_VERIFIED_R9 = frozenset(
 )
 
 
+# Names the round-10 driver hash-verified green (CORRECTNESS_r10.json:
+# 49 of 50 sampled rows — first greens for q177/q178/q180/q181/q182,
+# the stale-r7 relational tier re-certified; q179 was the round's one
+# red, re-led via HEAD_CURRENT with its round-11 type-parity fix).
+DRIVER_VERIFIED_R10 = frozenset(
+    {
+        "q12_full_join", "q133_tpch_q4", "q134_tpch_q6", "q135_tpch_q9",
+        "q136_tpch_q11", "q137_tpch_q13", "q138_tpch_q15", "q139_tpch_q16",
+        "q13_semi_join", "q140_tpch_q18", "q141_tpch_q19", "q142_tpch_q20",
+        "q143_tpch_q21", "q144_tpch_q22", "q145_chunk_dedup",
+        "q147_zorder_layout", "q14_anti_join", "q157_null_profile",
+        "q158_cluster_size_histogram", "q15_cross_join", "q16_theta_join",
+        "q177_perceptual_near_dup", "q178_span_excision_rewrite",
+        "q17_multiway_join_agg", "q180_benchmark_decontam",
+        "q181_image_resize_roundtrip", "q182_audio_resample_roundtrip",
+        "q18_broadcast_join", "q20_groupby_agg", "q21_count_distinct",
+        "q22_having", "q23_rollup", "q24_cube", "q25_scalar_agg",
+        "q26_stddev_var", "q30_row_number", "q31_lag_lead", "q32_window_frame",
+        "q33_ntile", "q34_topk_per_group", "q40_order_limit", "q41_offset",
+        "q42_union_all", "q43_union_distinct", "q44_intersect", "q45_except",
+        "q46_scalar_subquery", "q47_in_subquery", "q48_cte"
+    }
+)
+
+
 # name -> the LATEST round whose driver run hash-certified it (the
 # freshness rank the r9 rotation sorts on; later rounds overwrite).
 _FRESHEST_ROUND: dict[str, int] = {}
@@ -372,6 +401,7 @@ for _round, _certified in (
     (7, DRIVER_VERIFIED_R7),
     (8, DRIVER_VERIFIED_R8),
     (9, DRIVER_VERIFIED_R9),
+    (10, DRIVER_VERIFIED_R10),
 ):
     for _n in _certified:
         _FRESHEST_ROUND[_n] = _round
@@ -402,6 +432,7 @@ __all__ = [
     "DRIVER_VERIFIED_R7",
     "DRIVER_VERIFIED_R8",
     "DRIVER_VERIFIED_R9",
+    "DRIVER_VERIFIED_R10",
     "HEAD_R6",
     "DEFER_R6",
     "HEAD_R7",

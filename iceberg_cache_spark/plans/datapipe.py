@@ -1139,6 +1139,16 @@ def _excision_islands(base: DataFrame) -> DataFrame:
         "i",
         (F.least(F.col("i") + SPAN_K, F.col("n_tokens")) - 1).alias("fin"),
     )
+    return _merge_islands(hits)
+
+
+def _merge_islands(hits: DataFrame) -> DataFrame:
+    """Doc-partitioned ROWS-frame interval union over a positional hit
+    stream (doc_id, n_tokens, i, fin) — shared by the span registry
+    tier (q174/q178) and the decontamination apply (q185). Task size
+    is bounded by one document's hits; overlapping/adjacent-start
+    spans coalesce into merged islands (doc_id, isl_id, n_tokens,
+    occ, s, e), [s, e] the 0-based inclusive token range to excise."""
     w_ord = W.partitionBy("doc_id").orderBy("i")
     pm = F.max("fin").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
     isl = hits.withColumn(
@@ -1329,28 +1339,41 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
         F.collect_list(F.struct("s", "e")).alias("isls")
     )
     j = base.join(isln, ["doc_id"], "left")
-
-    def _kept(t):
-        return F.filter(
-            t,
-            lambda x, k: ~F.exists(
-                F.col("isls"), lambda r: (k >= r["s"]) & (k <= r["e"])
-            ),
-        )
-
     return j.select(
-        "doc_id",
+        "doc_id", *_rewrite_cols()
+    ).orderBy("doc_id", "text_clean")
+
+
+def _kept_tokens(t):
+    """Catalyst higher-order rewrite shared by q178/q185: keep the
+    tokens of array column ``t`` whose (1-based) index falls in none of
+    the row's merged ``isls`` intervals — per-row, JVM-side, zero
+    shuffle."""
+    return F.filter(
+        t,
+        lambda x, k: ~F.exists(
+            F.col("isls"), lambda r: (k >= r["s"]) & (k <= r["e"])
+        ),
+    )
+
+
+def _rewrite_cols() -> list:
+    """The excision-rewrite projection shared by q178/q185: expects
+    columns (t, n_tokens, isls) in scope; yields text_clean / n_tokens
+    / n_kept. Docs with no islands pass through verbatim; NULL texts
+    stay NULL with n_kept 0 (matching the oracles' CASE arms)."""
+    return [
         F.when(F.col("t").isNull(), F.lit(None).cast("string"))
         .when(F.col("isls").isNull(), F.array_join("t", " "))
-        .otherwise(F.array_join(_kept(F.col("t")), " "))
+        .otherwise(F.array_join(_kept_tokens(F.col("t")), " "))
         .alias("text_clean"),
         F.col("n_tokens"),
         F.when(F.col("t").isNull(), F.lit(0))
         .when(F.col("isls").isNull(), F.size("t"))
-        .otherwise(F.size(_kept(F.col("t"))))
+        .otherwise(F.size(_kept_tokens(F.col("t"))))
         .cast("bigint")
         .alias("n_kept"),
-    ).orderBy("doc_id", "text_clean")
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -1366,6 +1389,55 @@ PACK_TOKENS = 512  # training-sequence budget (tokens per pack)
 # decomposition. The constant cannot change RESULTS — it only
 # partitions the exact prefix-sum computation.
 PACK_IDBUCKET = 65536
+
+
+def _pack_placement(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared q179/q184 front: the exact global prefix sum placing each
+    document in the concatenated token stream — (doc_id, n_tokens,
+    start_off). Two-level bucket decomposition (plan shape documented
+    on q179); recomputed per consumer by design — it is three narrow
+    aggregates over the corpus, cheaper at scale than persisting."""
+    d = T(spark, sf, "documents").where(F.col("doc_id").isNotNull())
+    nt = F.coalesce(
+        F.when(
+            F.col("t").isNotNull(), F.size("t").cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    g = (
+        d.select("doc_id", _text_tokens(F.col("text")).alias("t"))
+        .select("doc_id", nt.alias("nt"))
+        .groupBy("doc_id")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("bkt", F.expr(f"doc_id DIV {PACK_IDBUCKET}"))
+    )
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    boff = (
+        g.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bt").over(wb), F.lit(0).cast("bigint")).alias(
+                "boff"
+            ),
+        )
+    )
+    w_in = (
+        W.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return g.join(F.broadcast(boff), "bkt").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("boff")
+            + F.coalesce(
+                F.sum("n_tokens").over(w_in), F.lit(0).cast("bigint")
+            )
+        ).alias("start_off"),
+    )
 
 
 @declared(
@@ -1416,47 +1488,7 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     stream positions. Duplicate doc_ids (degenerate fixtures) merge
     into one stream slot via the per-doc pre-aggregate, keeping the
     prefix sum deterministic under ties."""
-    d = T(spark, sf, "documents").where(F.col("doc_id").isNotNull())
-    nt = F.coalesce(
-        F.when(
-            F.col("t").isNotNull(), F.size("t").cast("bigint")
-        ),
-        F.lit(0).cast("bigint"),
-    )
-    g = (
-        d.select("doc_id", _text_tokens(F.col("text")).alias("t"))
-        .select("doc_id", nt.alias("nt"))
-        .groupBy("doc_id")
-        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
-        .filter(F.col("n_tokens") > 0)
-        .withColumn("bkt", F.expr(f"doc_id DIV {PACK_IDBUCKET}"))
-    )
-    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    boff = (
-        g.groupBy("bkt")
-        .agg(F.sum("n_tokens").alias("bt"))
-        .select(
-            "bkt",
-            F.coalesce(F.sum("bt").over(wb), F.lit(0).cast("bigint")).alias(
-                "boff"
-            ),
-        )
-    )
-    w_in = (
-        W.partitionBy("bkt")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    c = g.join(F.broadcast(boff), "bkt").select(
-        "doc_id",
-        "n_tokens",
-        (
-            F.col("boff")
-            + F.coalesce(
-                F.sum("n_tokens").over(w_in), F.lit(0).cast("bigint")
-            )
-        ).alias("start_off"),
-    )
+    c = _pack_placement(spark, sf)
     return c.select(
         "doc_id",
         "n_tokens",
@@ -1482,6 +1514,22 @@ q179.__doc__ = q179.__doc__.replace("{PACK}", str(PACK_TOKENS)).replace(
 )
 
 DECON_MOD = 97  # doc_id % MOD == 0 -> the held-out benchmark split
+# Broadcast guard for q180: a fixture-derived modulo split grows linearly
+# with the corpus (unlike a real eval set, which is bounded by nature), so
+# past this many distinct (span, bench_doc) pairs the plan falls back to a
+# shuffle hash join instead of OOMing the driver/executors with the build.
+DECON_BENCH_BROADCAST_MAX = 2_000_000
+
+
+def _maybe_broadcast(df: DataFrame, cap: int = DECON_BENCH_BROADCAST_MAX) -> DataFrame:
+    """Size guard (ADVICE r10) shared by the decontamination tier: count
+    the build side (limit-bounded — short-circuits once cap+1 rows
+    exist) before forcing the broadcast; past the cap, return the frame
+    unhinted so the join shuffles instead of OOMing the driver. At gate
+    scales the extra count is pennies; recompute-don't-persist."""
+    if df.limit(cap + 1).count() <= cap:
+        return F.broadcast(df)
+    return df
 
 
 @declared(
@@ -1515,12 +1563,16 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     contaminated doc: distinct shared spans and distinct benchmark
     docs matched.
 
-    Scale shape: the benchmark side of the span join is SMALL by
-    nature (eval sets are thousands of docs against a 100 TB corpus)
-    — its distinct (span, bench_doc) pairs broadcast, so the corpus
-    span stream is probed map-side with NO shuffle of the exploded
-    corpus; the only shuffle is the per-doc count-distinct aggregate
-    on the (tiny) hit stream. Span explode reuses the q174/q178
+    Scale shape: a REAL eval set is small by nature (thousands of
+    docs against a 100 TB corpus) and its distinct (span, bench_doc)
+    pairs broadcast, so the corpus span stream is probed map-side
+    with NO shuffle of the exploded corpus; the only shuffle is the
+    per-doc count-distinct aggregate on the (tiny) hit stream. This
+    FIXTURE's bench split is a modulo of the corpus itself, so it
+    grows with the corpus — the broadcast is therefore guarded by a
+    counted DECON_BENCH_BROADCAST_MAX threshold (shuffle-join
+    fallback past it); a production deployment should feed a bounded
+    eval-set table here instead of a corpus split. Span explode reuses the q174/q178
     positional stream (recompute-don't-persist). NULL doc_ids count
     as corpus (they cannot be benchmark members; the IS NULL arm
     keeps the engines' NULL%k semantics aligned)."""
@@ -1537,7 +1589,7 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     corp = all_spans.filter(
         F.col("doc_id").isNull() | (F.col("doc_id") % DECON_MOD != 0)
     )
-    hit = corp.join(F.broadcast(bench), "span")
+    hit = corp.join(_maybe_broadcast(bench), "span")
     return (
         hit.groupBy("doc_id")
         .agg(
@@ -1584,3 +1636,202 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pack-manifest emit (q184) + decontamination apply (q185) — round 11:
+# each completes a find→apply tier the way q178 completed the span tier.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q184_pack_manifest",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+         WHERE doc_id IS NOT NULL),
+       g AS (SELECT doc_id,
+                    CAST(SUM(COALESCE(len(t), 0)) AS BIGINT) AS n_tokens
+             FROM toks GROUP BY doc_id),
+       f AS (SELECT doc_id, n_tokens FROM g WHERE n_tokens > 0),
+       c AS (SELECT doc_id, n_tokens,
+                    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_off
+             FROM f),
+       e AS (SELECT doc_id, n_tokens, start_off, CAST(p AS BIGINT) AS pack_id
+             FROM c,
+                  UNNEST(range(start_off // {PACK_TOKENS},
+                               (start_off + n_tokens - 1) // {PACK_TOKENS}
+                               + 1)) AS u(p))
+       SELECT pack_id, doc_id,
+              CAST(GREATEST(pack_id * {PACK_TOKENS} - start_off, 0)
+                   AS BIGINT) AS slice_start,
+              CAST(LEAST(start_off + n_tokens,
+                         (pack_id + 1) * {PACK_TOKENS})
+                   - GREATEST(start_off, pack_id * {PACK_TOKENS})
+                   AS BIGINT) AS slice_len,
+              CAST(GREATEST(start_off, pack_id * {PACK_TOKENS})
+                   - pack_id * {PACK_TOKENS} AS BIGINT) AS pos_in_pack
+       FROM e ORDER BY pack_id, pos_in_pack""",
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack-manifest EMIT (round 11 — VERDICT r10 next-round #5): q179
+    places each document in the global token stream; this emits the
+    per-PACK manifest a training loader actually consumes — one row
+    per (pack, doc-slice): which slice of which document fills which
+    positions of pack ``pack_id``. ``slice_start``/``slice_len`` index
+    into the DOCUMENT's tokens, ``pos_in_pack`` into the pack; rows of
+    one pack are ordered and gap-free by construction (boundary docs
+    split across consecutive packs). Completes pack-place → pack-emit
+    the way q178 completed the span tier's find → rewrite.
+
+    Scale shape: the placement is the shared q179 two-level exact
+    prefix sum (recomputed, not persisted); the manifest explode is
+    map-side-free — sequence(pack_first..pack_last) per doc, total
+    rows = n_docs + total_tokens/{PACK} — and every output column is
+    integer arithmetic on (start_off, n_tokens, pack_id), so no
+    further shuffle before the presentation sort. Pure-integer
+    derivation from the driver-certified placement keeps it exactly
+    SQL-expressible (hash-matched oracle). Parity model: extends the
+    reference's golden-row discipline
+    (src/tests/test_sql_query_engine.py:28-33) to the packing tier."""
+    P = PACK_TOKENS
+    c = _pack_placement(spark, sf)
+    e = c.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off DIV {P}"),
+                F.expr(f"(start_off + n_tokens - 1) DIV {P}"),
+            )
+        ).alias("pack_id"),
+    )
+    gstart = F.greatest(F.col("start_off"), F.col("pack_id") * P)
+    gend = F.least(
+        F.col("start_off") + F.col("n_tokens"), (F.col("pack_id") + 1) * P
+    )
+    return e.select(
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        "doc_id",
+        (gstart - F.col("start_off")).cast("bigint").alias("slice_start"),
+        (gend - gstart).cast("bigint").alias("slice_len"),
+        (gstart - F.col("pack_id") * P).cast("bigint").alias("pos_in_pack"),
+    ).orderBy("pack_id", "pos_in_pack")
+
+
+q184.__doc__ = q184.__doc__.replace("{PACK}", str(PACK_TOKENS))
+
+
+@declared(
+    "q185_decontam_rewrite",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       base AS (SELECT doc_id, t, COALESCE(len(t), 0) AS n_tokens FROM toks),
+       spans AS (
+         SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS i,
+                array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+{SPAN_K} AS BIGINT)],
+                                ' ') AS span
+         FROM base,
+              UNNEST(range(greatest(n_tokens - {SPAN_K - 1}, 1))) AS u(i)),
+       f AS (SELECT * FROM spans WHERE span <> ''),
+       bench AS (SELECT DISTINCT span FROM f WHERE doc_id % {DECON_MOD} = 0),
+       hits AS (
+         SELECT s.doc_id, s.i,
+                LEAST(s.i + {SPAN_K}, s.n_tokens) - 1 AS fin
+         FROM f s JOIN bench b ON s.span = b.span
+         WHERE s.doc_id IS NULL OR s.doc_id % {DECON_MOD} <> 0),
+       ord AS (
+         SELECT doc_id, i, fin,
+                MAX(fin) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         FROM hits),
+       isl AS (
+         SELECT doc_id, i, fin,
+                CAST(SUM(CASE WHEN pm IS NULL OR i > pm THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl_id
+         FROM ord),
+       m AS (SELECT doc_id, isl_id, MIN(i) AS s, MAX(fin) AS e
+             FROM isl GROUP BY doc_id, isl_id),
+       isln AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS isls
+                FROM m GROUP BY doc_id),
+       corp AS (SELECT * FROM base
+                WHERE doc_id IS NULL OR doc_id % {DECON_MOD} <> 0),
+       j AS (SELECT b.doc_id, b.t, b.n_tokens, i.isls
+             FROM corp b LEFT JOIN isln i ON b.doc_id = i.doc_id)
+       SELECT doc_id,
+              CASE WHEN t IS NULL THEN NULL
+                   WHEN isls IS NULL THEN COALESCE(array_to_string(t, ' '), '')
+                   ELSE COALESCE(array_to_string(list_filter(t, (x, k) ->
+                        len(list_filter(isls, r ->
+                            (k-1) >= r.s AND (k-1) <= r.e)) = 0), ' '), '')
+              END AS text_clean,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(CASE WHEN t IS NULL THEN 0
+                   WHEN isls IS NULL THEN len(t)
+                   ELSE len(list_filter(t, (x, k) ->
+                        len(list_filter(isls, r ->
+                            (k-1) >= r.s AND (k-1) <= r.e)) = 0))
+              END AS BIGINT) AS n_kept,
+              CAST(CASE WHEN isls IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                AS was_contaminated
+       FROM j ORDER BY doc_id, text_clean""",
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination APPLY (round 11 — VERDICT r10 next-round #6):
+    q180 flags training docs sharing a {K}-token span with the
+    benchmark split; this emits the decontaminated training corpus
+    itself — benchmark docs dropped, and in every surviving doc the
+    contaminated spans are EXCISED (span-masking, the surgical
+    alternative to doc-level kill: a 100k-token doc with one leaked
+    quiz question keeps its other 99.99k tokens). Completes the
+    decontamination find (q180) → apply triad.
+
+    Plan shape at 100 TB: the benchmark span set distincts and
+    broadcasts under the counted {DBM}-entry guard (shuffle-join
+    fallback past it — see q180); corpus spans are probed map-side,
+    hit intervals union per-doc via the shared q174/q178 ROWS-frame
+    island merge (task bounded by one doc's hits), and the rewrite is
+    the shared Catalyst higher-order F.filter index lambda — per-row,
+    JVM-side, never a positional re-explode of the corpus. NULL
+    doc_ids pass through verbatim with was_contaminated=0 on both
+    engines (the isln equi-join drops NULL keys; same contract as
+    q178's oracle LEFT JOIN)."""
+    base = _span_base(T(spark, sf, "documents"))
+    spans = _exploded_spans(base)
+    bench = (
+        spans.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select("span")
+        .distinct()
+    )
+    corp_spans = spans.filter(
+        F.col("doc_id").isNull() | (F.col("doc_id") % DECON_MOD != 0)
+    )
+    hits = corp_spans.join(_maybe_broadcast(bench), "span").select(
+        "doc_id",
+        "n_tokens",
+        "i",
+        (F.least(F.col("i") + SPAN_K, F.col("n_tokens")) - 1).alias("fin"),
+    )
+    isln = _merge_islands(hits).groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("isls")
+    )
+    corp = base.filter(
+        F.col("doc_id").isNull() | (F.col("doc_id") % DECON_MOD != 0)
+    )
+    j = corp.join(isln, ["doc_id"], "left")
+    return j.select(
+        "doc_id",
+        *_rewrite_cols(),
+        F.when(F.col("isls").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("was_contaminated"),
+    ).orderBy("doc_id", "text_clean")
+
+
+q185.__doc__ = q185.__doc__.replace("{K}", str(SPAN_K)).replace(
+    "{DBM}", str(DECON_BENCH_BROADCAST_MAX)
+)

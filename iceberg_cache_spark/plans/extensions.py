@@ -479,9 +479,9 @@ def q177_payload(doc_id: int) -> bytes:
 
 @declared(
     "q177_perceptual_near_dup",
-    """WITH d AS (SELECT DISTINCT doc_id FROM documents
+    f"""WITH d AS (SELECT DISTINCT doc_id FROM documents
                   WHERE doc_id IS NOT NULL),
-            c AS (SELECT doc_id, doc_id // 4 AS cl FROM d)
+            c AS (SELECT doc_id, doc_id // {Q177_CLUSTER} AS cl FROM d)
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               CASE WHEN (a.cl % 2) = 0 THEN 'image' ELSE 'audio' END
                 AS modality,

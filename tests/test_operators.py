@@ -729,3 +729,24 @@ def test_resample_wav_decimation_and_passthrough(spark):
         factor=1,
     ).first()
     assert bytes(r1.payload) == wav
+
+
+def test_decode_wav_truncated_chunk_is_valueerror():
+    """ADVICE r10: a RIFF payload whose fmt/size chunk is truncated used
+    to escape the mapInPandas (ValueError, NotImplementedError) handlers
+    as struct.error and kill the Spark task. decode_wav must wrap it as
+    ValueError so bad rows never kill the job."""
+    import pytest
+
+    from iceberg_cache_spark.operators.multimodal import decode_wav, encode_wav
+
+    good = encode_wav(b"\x01\x00\x02\x00" * 8, sample_rate=8000)
+    # truncate INSIDE the fmt chunk body: header parses, unpack_from
+    # on the 16-byte fmt struct hits the short buffer
+    fmt_off = good.index(b"fmt ")
+    bad = good[: fmt_off + 12]
+    with pytest.raises(ValueError, match="truncated RIFF"):
+        decode_wav(bad)
+    # and a chunk whose SIZE field itself is cut off
+    with pytest.raises(ValueError):
+        decode_wav(good[:14])

@@ -569,3 +569,101 @@ def test_benchmark_decontam_planted(spark, tmp_path):
     assert got[1] == (1, 1)   # contains 'alpha beta gamma delta epsilon'
     assert got[3] == (1, 1)   # the whole doc IS that span
     assert 0 not in got and 2 not in got
+
+
+def test_pack_manifest_planted(spark, tmp_path):
+    """q184 planted semantics: the manifest explodes q179's placement
+    into per-(pack, doc-slice) rows — a boundary-straddling doc emits
+    one slice per pack, in-pack positions are gap-free, and every
+    slice_len sums back to the doc's n_tokens. Hash-checked against
+    the declared oracle plus hand asserts (PACK_TOKENS=512)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES
+    from iceberg_cache_spark.plans.datapipe import PACK_TOKENS
+    from tests.oracle import compare
+
+    texts = [
+        "w " * 300,   # doc 0: [0, 299] -> pack 0
+        "w " * 300,   # doc 1: [300, 599] -> packs 0 and 1
+        "",           # doc 2: absent
+        None,         # doc 3: absent
+        "w " * 10,    # doc 4: [600, 609] -> pack 1
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], pa.int64()
+            ),
+            "source": pa.array(["t"] * len(texts)),
+        }
+    )
+    d = tmp_path / "manifix"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    res = QUERIES["q184_pack_manifest"](spark, str(d))
+    compare(res, ORACLE["q184_pack_manifest"], str(d))
+    assert PACK_TOKENS == 512
+    rows = [
+        (r.pack_id, r.doc_id, r.slice_start, r.slice_len, r.pos_in_pack)
+        for r in res.collect()
+    ]
+    assert rows == [
+        (0, 0, 0, 300, 0),     # doc 0 whole in pack 0
+        (0, 1, 0, 212, 300),   # doc 1 head fills pack 0 to the brim
+        (1, 1, 212, 88, 0),    # doc 1 tail opens pack 1
+        (1, 4, 0, 10, 88),     # doc 4 follows immediately
+    ]
+    # invariants: per-doc slice lengths sum to n_tokens; packs gap-free
+    assert sum(s for p, doc, st, s, pos in rows if doc == 1) == 300
+    for pack in {r[0] for r in rows}:
+        seg = sorted((pos, s) for p, _, _, s, pos in rows if p == pack)
+        cur = seg[0][0]
+        for pos, s in seg:
+            assert pos == cur
+            cur += s
+
+
+def test_decontam_rewrite_planted(spark, tmp_path):
+    """q185 planted semantics: benchmark docs (doc_id % 97 == 0) are
+    dropped; a corpus doc sharing a 5-token span with the benchmark
+    has exactly that island excised (surrounding tokens survive); a
+    clean doc passes through verbatim with was_contaminated=0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES
+    from tests.oracle import compare
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",        # 0: benchmark
+        "x alpha beta gamma delta epsilon zeta y",    # 1: contaminated
+        "completely clean text with no overlap at",   # 2: clean
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "source": pa.array(["t"] * len(texts)),
+        }
+    )
+    d = tmp_path / "deconapp"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    res = QUERIES["q185_decontam_rewrite"](spark, str(d))
+    compare(res, ORACLE["q185_decontam_rewrite"], str(d))
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_kept, r.was_contaminated)
+        for r in res.collect()
+    }
+    assert 0 not in got  # benchmark split never reaches the output
+    # doc 1 shares spans 'alpha..epsilon' and 'beta..zeta' -> merged
+    # island covers tokens 1..6; 'x' and 'y' survive
+    assert got[1] == ("x y", 8, 2, 1)
+    assert got[2] == (texts[2], 7, 7, 0)

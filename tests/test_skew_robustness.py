@@ -112,3 +112,54 @@ def test_skew_plan_covers_every_table():
     from iceberg_cache_spark.sources.testdata import TABLE_NAMES
 
     assert set(PLAN) == set(TABLE_NAMES)
+
+
+def test_hamming_band_join_hot_cluster(spark):
+    """VERDICT r10 #7 — the media tier's skew cell: one perceptual
+    cluster holding 80% of the corpus. The banded Hamming join must
+    (a) stay CORRECT — within-cluster pairs all found at hamming 0,
+    no cross-cluster pairs — and (b) keep its bucket keys bounded:
+    the max_bucket guard drops a hot (chunk, value) bucket from
+    candidate generation while small clusters are untouched, so no
+    task ever materializes an unbounded bucket's pair square."""
+    from iceberg_cache_spark.operators.dedup import hamming_band_pairs
+    from iceberg_cache_spark.operators.multimodal import (
+        encode_ppm,
+        perceptual_hashes,
+    )
+    from iceberg_cache_spark.plans.extensions import _q177_vals
+
+    def img(cl: int, doc_id: int) -> bytes:
+        # q177's image branch with the cluster DEcoupled from doc_id:
+        # cluster-keyed content, per-doc <=3 perturbation (below the
+        # >=24 adjacent-luminance margin, so hashes match exactly)
+        v = _q177_vals(cl, 72)
+        raster = bytearray()
+        for idx, vi in enumerate(v):
+            for k in range(3):
+                raster.append(16 + 24 * vi + (doc_id * 31 + idx * 7 + k) % 4)
+        return encode_ppm(bytes(raster), width=9)
+
+    rows = [(i, img(1000, i)) for i in range(48)]          # hot: 80%
+    for c, base in ((2000, 48), (3000, 52), (4000, 56)):   # 3 cold of 4
+        rows += [(i, img(c, i)) for i in range(base, base + 4)]
+    cluster = {i: (1000 if i < 48 else 2000 + 1000 * ((i - 48) // 4))
+               for i in range(60)}
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = perceptual_hashes(media).filter("phash IS NOT NULL")
+
+    pairs = hamming_band_pairs(
+        hashes, "doc_id", "phash", group_cols=("modality",)
+    ).collect()
+    assert len(pairs) == 48 * 47 // 2 + 3 * 6
+    assert all(p.hamming == 0 for p in pairs)
+    assert all(cluster[p.id_a] == cluster[p.id_b] for p in pairs)
+
+    # guard cell: cap buckets BELOW the hot cluster's size — its four
+    # 16-bit-chunk buckets (48 members each) drop from candidate
+    # generation, the size-4 clusters pass untouched
+    capped = hamming_band_pairs(
+        hashes, "doc_id", "phash", group_cols=("modality",), max_bucket=40
+    ).collect()
+    assert len(capped) == 3 * 6
+    assert all(cluster[p.id_a] == cluster[p.id_b] != 1000 for p in capped)

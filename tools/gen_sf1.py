@@ -52,8 +52,10 @@ def _params_hash() -> str:
     for t in sorted(list(KEY_COLS) + VERBATIM):
         p = os.path.join(SRC, f"{t}.parquet")
         st = os.stat(p)
-        src_stat.append((t, st.st_size))
-    blob = json.dumps({"copies": COPIES, "src": src_stat, "v": 1})
+        # size alone can collide on a content change that preserves byte
+        # count (ADVICE r10) — mtime_ns makes the sidecar key content-aware
+        src_stat.append((t, st.st_size, st.st_mtime_ns))
+    blob = json.dumps({"copies": COPIES, "src": src_stat, "v": 2})
     return hashlib.md5(blob.encode()).hexdigest()
 
 
