@@ -370,6 +370,12 @@ def child_scale_probe(out_path: str) -> None:
         # size also grows with the corpus here (1/97 split) — still
         # ~linear while the hit stream stays sparse
         "q179_sequence_packing", "q180_benchmark_decontam",
+        # r11 apply tier: the manifest is the placement + a map-side
+        # explode (~10x); the decontam rewrite adds the island merge
+        # over the sparse hit stream — both bounded by exploded spans
+        "q184_pack_manifest", "q185_decontam_rewrite",
+        # r11 accounting tier: same fronts, one hash aggregate each
+        "q186_decontam_accounting", "q187_pack_stats",
     ]
     # ANN tier. q71/q73/q126 probe their declared configs (fixed
     # plane/cell counts keep them linear: candidate work per query is

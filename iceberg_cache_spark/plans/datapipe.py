@@ -1695,16 +1695,57 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
     SQL-expressible (hash-matched oracle). Parity model: extends the
     reference's golden-row discipline
     (src/tests/test_sql_query_engine.py:28-33) to the packing tier."""
+    return _pack_manifest(spark, sf).select(
+        "pack_id", "doc_id", "slice_start", "slice_len", "pos_in_pack"
+    ).orderBy("pack_id", "pos_in_pack")
+
+
+# Max elements in any single generated pack-index array (q184/q187
+# manifest explode). A doc's pack sequence is n_tokens/512 long — fine
+# for real corpora (a 10M-token outlier is ~20k elements), but the
+# same guard philosophy as sessions.GAPFILL_SLAB applies: one corrupt
+# mega-doc must not materialize an unbounded array on a single row, so
+# the explode is slab-chunked (slab index first, then a <=65536-pack
+# slab). Identical rows; worst case bounded by the constant.
+PACK_SLAB = 65536
+
+
+def _pack_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared q184/q187 manifest frame: placement exploded into one row
+    per (pack_id, doc-slice), carrying the doc's n_tokens so the stats
+    tier can classify whole-vs-split slices without a re-join."""
     P = PACK_TOKENS
-    c = _pack_placement(spark, sf)
-    e = c.select(
+    c = _pack_placement(spark, sf).select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off DIV {P}").alias("p0"),
+        F.expr(f"(start_off + n_tokens - 1) DIV {P}").alias("p1"),
+    )
+    slabs = c.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        "p0",
+        "p1",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"(p1 - p0) DIV {PACK_SLAB}"),
+            )
+        ).alias("s"),
+    )
+    e = slabs.select(
         "doc_id",
         "n_tokens",
         "start_off",
         F.explode(
             F.sequence(
-                F.expr(f"start_off DIV {P}"),
-                F.expr(f"(start_off + n_tokens - 1) DIV {P}"),
+                F.col("p0") + F.col("s") * F.lit(PACK_SLAB),
+                F.least(
+                    F.col("p1"),
+                    F.col("p0") + (F.col("s") + 1) * F.lit(PACK_SLAB) - 1,
+                ),
             )
         ).alias("pack_id"),
     )
@@ -1715,10 +1756,11 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
     return e.select(
         F.col("pack_id").cast("bigint").alias("pack_id"),
         "doc_id",
+        "n_tokens",
         (gstart - F.col("start_off")).cast("bigint").alias("slice_start"),
         (gend - gstart).cast("bigint").alias("slice_len"),
         (gstart - F.col("pack_id") * P).cast("bigint").alias("pos_in_pack"),
-    ).orderBy("pack_id", "pos_in_pack")
+    )
 
 
 q184.__doc__ = q184.__doc__.replace("{PACK}", str(PACK_TOKENS))
@@ -1835,3 +1877,186 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 q185.__doc__ = q185.__doc__.replace("{K}", str(SPAN_K)).replace(
     "{DBM}", str(DECON_BENCH_BROADCAST_MAX)
 )
+
+
+# Hard-contamination flag threshold for q186: a doc whose contaminated
+# token fraction reaches this (in parts-per-million) is marked for
+# doc-level kill rather than span excision — 20% leaked content means
+# the doc IS substantially benchmark material.
+DECON_HARD_E6 = 200_000
+
+
+@declared(
+    "q186_decontam_accounting",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       base AS (SELECT doc_id, t, COALESCE(len(t), 0) AS n_tokens FROM toks),
+       spans AS (
+         SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS i,
+                array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+{SPAN_K} AS BIGINT)],
+                                ' ') AS span
+         FROM base,
+              UNNEST(range(greatest(n_tokens - {SPAN_K - 1}, 1))) AS u(i)),
+       f AS (SELECT * FROM spans WHERE span <> ''),
+       bench AS (SELECT DISTINCT span FROM f WHERE doc_id % {DECON_MOD} = 0),
+       hits AS (
+         SELECT s.doc_id, s.n_tokens, s.i,
+                LEAST(s.i + {SPAN_K}, s.n_tokens) - 1 AS fin
+         FROM f s JOIN bench b ON s.span = b.span
+         WHERE s.doc_id IS NULL OR s.doc_id % {DECON_MOD} <> 0),
+       ord AS (
+         SELECT doc_id, n_tokens, i, fin,
+                MAX(fin) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         FROM hits),
+       isl AS (
+         SELECT doc_id, n_tokens, i, fin,
+                CAST(SUM(CASE WHEN pm IS NULL OR i > pm THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl_id
+         FROM ord),
+       m AS (
+         SELECT doc_id, isl_id, MAX(n_tokens) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS occ,
+                MIN(i) AS s, MAX(fin) AS e
+         FROM isl GROUP BY doc_id, isl_id)
+       SELECT doc_id,
+              CAST(SUM(occ) AS BIGINT) AS n_occ,
+              CAST(COUNT(*) AS BIGINT) AS n_islands,
+              CAST(SUM(e - s + 1) AS BIGINT) AS tokens_contaminated,
+              CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+              CAST((SUM(e - s + 1) * 1000000) // MAX(n_tokens)
+                   AS BIGINT) AS contam_ratio_e6,
+              CAST(CASE WHEN (SUM(e - s + 1) * 1000000) // MAX(n_tokens)
+                        >= {DECON_HARD_E6} THEN 1 ELSE 0 END AS BIGINT)
+                AS kill_doc
+       FROM m GROUP BY doc_id ORDER BY doc_id""",
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination ACCOUNTING (round 11): the stage between q180's
+    find and q185's apply — for every contaminated training doc, how
+    many benchmark-span hits land, how many merged excision islands
+    they form, the exact contaminated-token count and e6 ratio, and
+    the kill-vs-excise decision (`kill_doc`: ratio ≥ {HARD} ppm means
+    the doc is substantially benchmark material — excising would leave
+    a husk, so a real pipeline drops it whole; Llama-2-style
+    high-overlap kill). Mirrors q174's accounting for the span-dedup
+    tier, completing the decontamination find→ACCOUNT→apply triad.
+
+    Plan shape: identical to q185's front (counted-guard broadcast of
+    the benchmark span set, map-side corpus probe, per-doc ROWS-frame
+    island union — see q185/q180); the accounting is one co-partitioned
+    hash aggregate on the sparse hit stream. Pure integer arithmetic,
+    exactly SQL-expressible."""
+    base = _span_base(T(spark, sf, "documents"))
+    spans = _exploded_spans(base)
+    bench = (
+        spans.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select("span")
+        .distinct()
+    )
+    corp_spans = spans.filter(
+        F.col("doc_id").isNull() | (F.col("doc_id") % DECON_MOD != 0)
+    )
+    hits = corp_spans.join(_maybe_broadcast(bench), "span").select(
+        "doc_id",
+        "n_tokens",
+        "i",
+        (F.least(F.col("i") + SPAN_K, F.col("n_tokens")) - 1).alias("fin"),
+    )
+    m = _merge_islands(hits)
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_occ"),
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("bigint")
+            .alias("tokens_contaminated"),
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "contam_ratio_e6",
+            F.expr(
+                "CAST((tokens_contaminated * 1000000) DIV n_tokens AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "kill_doc",
+            (F.col("contam_ratio_e6") >= DECON_HARD_E6)
+            .cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+q186.__doc__ = q186.__doc__.replace("{HARD}", str(DECON_HARD_E6))
+
+
+@declared(
+    "q187_pack_stats",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+         WHERE doc_id IS NOT NULL),
+       g AS (SELECT doc_id,
+                    CAST(SUM(COALESCE(len(t), 0)) AS BIGINT) AS n_tokens
+             FROM toks GROUP BY doc_id),
+       f AS (SELECT doc_id, n_tokens FROM g WHERE n_tokens > 0),
+       c AS (SELECT doc_id, n_tokens,
+                    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_off
+             FROM f),
+       e AS (SELECT doc_id, n_tokens, start_off, CAST(p AS BIGINT) AS pack_id
+             FROM c,
+                  UNNEST(range(start_off // {PACK_TOKENS},
+                               (start_off + n_tokens - 1) // {PACK_TOKENS}
+                               + 1)) AS u(p)),
+       s AS (SELECT pack_id, doc_id, n_tokens,
+                    LEAST(start_off + n_tokens,
+                          (pack_id + 1) * {PACK_TOKENS})
+                    - GREATEST(start_off, pack_id * {PACK_TOKENS})
+                      AS slice_len
+             FROM e)
+       SELECT pack_id,
+              CAST(COUNT(*) AS BIGINT) AS n_slices,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN slice_len = n_tokens THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_whole_docs,
+              CAST(SUM(CASE WHEN slice_len <> n_tokens THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_split_slices,
+              CAST(SUM(slice_len) AS BIGINT) AS tokens_filled
+       FROM s GROUP BY pack_id ORDER BY pack_id""",
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-pack composition statistics (round 11): the loader-side
+    telemetry over q184's manifest — per pack: slice count, distinct
+    docs, docs contained WHOLE vs boundary-split slices, and filled
+    tokens (= {PACK} everywhere except the final partial pack). This
+    is what an attention-masking/packing-efficiency report reads:
+    split-slice fraction drives cross-doc attention leakage, whole-doc
+    density drives mask sparsity.
+
+    Plan shape: one co-partitioned hash aggregate over the shared
+    manifest frame (pack_id is the natural key; the explode is
+    map-side, so the only shuffle is this aggregate + the presentation
+    sort). Pure integer arithmetic — hash-matched oracle."""
+    mf = _pack_manifest(spark, sf)
+    return (
+        mf.groupBy("pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_slices"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("slice_len") == F.col("n_tokens")).cast("bigint")
+            ).cast("bigint").alias("n_whole_docs"),
+            F.sum(
+                (F.col("slice_len") != F.col("n_tokens")).cast("bigint")
+            ).cast("bigint").alias("n_split_slices"),
+            F.sum("slice_len").cast("bigint").alias("tokens_filled"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+q187.__doc__ = q187.__doc__.replace("{PACK}", str(PACK_TOKENS))

@@ -271,3 +271,37 @@ def test_rolling_window_prefix_sum_shape(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges,max_scans",
+    [
+        # pack tier: the two-level prefix sum costs 4 hash exchanges
+        # (doc agg, bucket agg, two window sorts) + the broadcast of
+        # the narrow bucket offsets; 2 corpus scans (recompute of the
+        # per-doc counts for the bucket subtotals — documented choice)
+        ("q179_sequence_packing", 8, 2),
+        ("q184_pack_manifest", 8, 2),
+        ("q187_pack_stats", 10, 2),
+        # decontam tier: benchmark span set broadcasts (the counted
+        # guard), corpus stream probed map-side — never more than 3
+        # corpus scans (bench build / hit probe / rewrite join)
+        ("q180_benchmark_decontam", 6, 2),
+        ("q185_decontam_rewrite", 6, 3),
+        ("q186_decontam_accounting", 5, 2),
+    ],
+)
+def test_pack_decontam_tier_plan_shape(spark, sf_dir, name, max_exchanges, max_scans):
+    """Round-11 tier guards (audited shapes): the packing prefix sum
+    and the decontamination span probe must keep their broadcast +
+    bounded-exchange plans — a lost broadcast here becomes a corpus
+    shuffle at 100 TB."""
+    plan = physical(spark, sf_dir, name)
+    assert plan.count("Exchange") <= max_exchanges, (
+        f"{name}: {plan.count('Exchange')} Exchanges "
+        f"(audited-good bound {max_exchanges})"
+    )
+    assert plan.count("Scan parquet") <= max_scans
+    assert plan.count("BroadcastHashJoin") >= 1  # the tier's keystone
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

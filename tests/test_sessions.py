@@ -667,3 +667,119 @@ def test_decontam_rewrite_planted(spark, tmp_path):
     # island covers tokens 1..6; 'x' and 'y' survive
     assert got[1] == ("x y", 8, 2, 1)
     assert got[2] == (texts[2], 7, 7, 0)
+
+
+def test_decontam_accounting_planted(spark, tmp_path):
+    """q186 planted semantics: overlapping benchmark-span hits merge
+    into islands with exact contaminated-token counts; the kill flag
+    trips at DECON_HARD_E6 (a doc that IS the benchmark span kills,
+    a long doc with one small island excises)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES
+    from tests.oracle import compare
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",          # 0: benchmark
+        # 1: 8 tokens, merged island tokens 1..6 (6/8 = 750000 ppm) -> kill
+        "x alpha beta gamma delta epsilon zeta y",
+        # 2: 40 tokens, one island of 5 (125000 ppm) -> excise, not kill
+        "alpha beta gamma delta epsilon " + "pad " * 35,
+        "completely clean text with no overlap at",     # 3: clean
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "source": pa.array(["t"] * len(texts)),
+        }
+    )
+    d = tmp_path / "deconacct"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    res = QUERIES["q186_decontam_accounting"](spark, str(d))
+    compare(res, ORACLE["q186_decontam_accounting"], str(d))
+    got = {
+        r.doc_id: (r.n_occ, r.n_islands, r.tokens_contaminated,
+                   r.n_tokens, r.contam_ratio_e6, r.kill_doc)
+        for r in res.collect()
+    }
+    assert 0 not in got and 3 not in got
+    assert got[1] == (2, 1, 6, 8, 750000, 1)
+    assert got[2] == (1, 1, 5, 40, 125000, 0)
+
+
+def test_pack_stats_planted(spark, tmp_path):
+    """q187 planted semantics over the q184 fixture: pack 0 holds
+    doc 0 whole plus doc 1's head (split), pack 1 holds doc 1's tail
+    plus doc 4 whole; fills are 512 and 98."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES
+    from tests.oracle import compare
+
+    texts = ["w " * 300, "w " * 300, "", None, "w " * 10]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], pa.int64()
+            ),
+            "source": pa.array(["t"] * len(texts)),
+        }
+    )
+    d = tmp_path / "packstats"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    res = QUERIES["q187_pack_stats"](spark, str(d))
+    compare(res, ORACLE["q187_pack_stats"], str(d))
+    got = {
+        r.pack_id: (r.n_slices, r.n_docs, r.n_whole_docs,
+                    r.n_split_slices, r.tokens_filled)
+        for r in res.collect()
+    }
+    assert got == {
+        0: (2, 2, 1, 1, 512),   # doc 0 whole + doc 1 head
+        1: (2, 2, 1, 1, 98),    # doc 1 tail + doc 4 whole (88 + 10)
+    }
+
+
+def test_pack_manifest_slab_boundaries(spark, tmp_path, monkeypatch):
+    """The q184/q187 manifest explode is slab-chunked (PACK_SLAB) so a
+    corrupt mega-doc can't materialize an unbounded pack array on one
+    row. Shrinking the slab to 1 pack forces every multi-pack doc
+    across slab boundaries — rows and hashes must be identical to the
+    declared (slab-free) oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import ORACLE, QUERIES, datapipe
+    from tests.oracle import compare
+
+    monkeypatch.setattr(datapipe, "PACK_SLAB", 1)
+    texts = ["w " * 1200, "w " * 300, "w " * 10]  # doc 0 spans packs 0..2
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "source": pa.array(["t"] * len(texts)),
+        }
+    )
+    d = tmp_path / "packslab"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for name in ("q184_pack_manifest", "q187_pack_stats"):
+        res = QUERIES[name](spark, str(d))
+        compare(res, ORACLE[name], str(d))
+    rows = QUERIES["q184_pack_manifest"](spark, str(d)).collect()
+    # doc 0: 1200 tokens -> packs 0,1,2 (3 slices under slab=1)
+    assert [r.pack_id for r in rows if r.doc_id == 0] == [0, 1, 2]
+    assert sum(r.slice_len for r in rows if r.doc_id == 0) == 1200
