@@ -117,7 +117,11 @@ def compact_line(payload: dict) -> dict:
     short = {}
     for k, v in ranked:
         m = re.match(r"(q\d+)", k)
-        entry = {m.group(1) if m else k: round(v, 2) if v >= 1 else round(v, 1)}
+        # ONE decimal below 10s (full precision lives in
+        # BENCH_local.json) — at 181 queries the saved char per 1-10s
+        # entry moves ~5 cheap-tail entries back onto the line (r11:
+        # 28 omitted tripped the shared ceil(n/7) bound of 26)
+        entry = {m.group(1) if m else k: round(v, 2) if v >= 10 else round(v, 1)}
         cost = len(json.dumps(entry, separators=(",", ":"))) - 1
         if used + cost > budget:
             break

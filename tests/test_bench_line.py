@@ -38,8 +38,11 @@ def test_compact_line_under_budget_on_committed_payload():
     assert parsed["queries_n"] == len(payload["queries"])
     assert len(parsed["queries"]) + parsed["queries_omitted"] == parsed["queries_n"]
     slowest = sorted(payload["queries"].values())[-20:]
+    # each must appear exactly as the emitter renders it (1 decimal
+    # below 10s, 2 at or above — r11 compaction policy)
+    rendered = set(parsed["queries"].values())
     assert all(
-        any(abs(v - s) < 0.011 for v in parsed["queries"].values()) for s in slowest
+        (round(s, 2) if s >= 10 else round(s, 1)) in rendered for s in slowest
     )
 
 
