@@ -1514,6 +1514,16 @@ q179.__doc__ = q179.__doc__.replace("{PACK}", str(PACK_TOKENS)).replace(
 )
 
 DECON_MOD = 97  # doc_id % MOD == 0 -> the held-out benchmark split
+# Bench-side span document-frequency cap for q180 (round 11 — the
+# third-decade probe caught the blowup): a span held by B bench docs
+# and matched at C corpus positions fans the hit join out to B*C rows,
+# so ubiquitous spans turn the probe quadratic (measured 16.9x at
+# 50k->500k docs vs ~9x for every sibling). A span in >100 distinct
+# benchmark docs is boilerplate, not contamination signal — the same
+# stop-gram argument as ngram_jaccard_pairs' max_doc_freq — and
+# dropping it bounds the per-span fan-out by construction. No effect
+# at the gate scales (the sf0.01/sf0.1 bench splits hold <= 52 docs).
+DECON_SPAN_MAX_BDF = 100
 # Broadcast guard for q180: a fixture-derived modulo split grows linearly
 # with the corpus (unlike a real eval set, which is bounded by nature), so
 # past this many distinct (span, bench_doc) pairs the plan falls back to a
@@ -1544,8 +1554,12 @@ def _maybe_broadcast(df: DataFrame, cap: int = DECON_BENCH_BROADCAST_MAX) -> Dat
          FROM base,
               UNNEST(range(greatest(n_tokens - {SPAN_K - 1}, 1))) AS u(i)),
        f AS (SELECT DISTINCT doc_id, span FROM spans WHERE span <> ''),
-       bench AS (SELECT doc_id AS bdoc, span FROM f
-                 WHERE doc_id % {DECON_MOD} = 0),
+       bench0 AS (SELECT doc_id AS bdoc, span FROM f
+                  WHERE doc_id % {DECON_MOD} = 0),
+       bench AS (SELECT b.bdoc, b.span FROM bench0 b
+                 JOIN (SELECT span FROM bench0 GROUP BY span
+                       HAVING COUNT(DISTINCT bdoc) <= {DECON_SPAN_MAX_BDF})
+                      r ON b.span = r.span),
        corp AS (SELECT doc_id, span FROM f
                 WHERE doc_id IS NULL OR doc_id % {DECON_MOD} <> 0),
        hit AS (SELECT c.doc_id, c.span, b.bdoc
@@ -1572,7 +1586,11 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     grows with the corpus — the broadcast is therefore guarded by a
     counted DECON_BENCH_BROADCAST_MAX threshold (shuffle-join
     fallback past it); a production deployment should feed a bounded
-    eval-set table here instead of a corpus split. Span explode reuses the q174/q178
+    eval-set table here instead of a corpus split. Spans held by more
+    than DECON_SPAN_MAX_BDF distinct benchmark docs are dropped before
+    the probe (round 11 — the third-decade probe measured the B*C
+    hit fan-out at 16.9x per 10x rows without the cap, ~9x with):
+    boilerplate, not contamination signal, per q64's stop-gram rule. Span explode reuses the q174/q178
     positional stream (recompute-don't-persist). NULL doc_ids count
     as corpus (they cannot be benchmark members; the IS NULL arm
     keeps the engines' NULL%k semantics aligned)."""
@@ -1586,6 +1604,16 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("doc_id").alias("bdoc"), "span")
         .distinct()
     )
+    # drop boilerplate spans (> DECON_SPAN_MAX_BDF distinct bench
+    # docs) BEFORE the probe join: they fan out B*C hit rows per span
+    # and carry no contamination signal (see the constant's note)
+    rare = (
+        bench.groupBy("span")
+        .agg(F.count_distinct("bdoc").alias("bdf"))
+        .filter(F.col("bdf") <= DECON_SPAN_MAX_BDF)
+        .select("span")
+    )
+    bench = bench.join(rare, "span", "left_semi")
     corp = all_spans.filter(
         F.col("doc_id").isNull() | (F.col("doc_id") % DECON_MOD != 0)
     )
@@ -1778,7 +1806,9 @@ q184.__doc__ = q184.__doc__.replace("{PACK}", str(PACK_TOKENS))
          FROM base,
               UNNEST(range(greatest(n_tokens - {SPAN_K - 1}, 1))) AS u(i)),
        f AS (SELECT * FROM spans WHERE span <> ''),
-       bench AS (SELECT DISTINCT span FROM f WHERE doc_id % {DECON_MOD} = 0),
+       bench AS (SELECT span FROM f WHERE doc_id % {DECON_MOD} = 0
+                 GROUP BY span
+                 HAVING COUNT(DISTINCT doc_id) <= {DECON_SPAN_MAX_BDF}),
        hits AS (
          SELECT s.doc_id, s.i,
                 LEAST(s.i + {SPAN_K}, s.n_tokens) - 1 AS fin
@@ -1845,8 +1875,10 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
     spans = _exploded_spans(base)
     bench = (
         spans.filter(F.col("doc_id") % DECON_MOD == 0)
+        .groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("bdf"))
+        .filter(F.col("bdf") <= DECON_SPAN_MAX_BDF)
         .select("span")
-        .distinct()
     )
     corp_spans = spans.filter(
         F.col("doc_id").isNull() | (F.col("doc_id") % DECON_MOD != 0)
@@ -1898,7 +1930,9 @@ DECON_HARD_E6 = 200_000
          FROM base,
               UNNEST(range(greatest(n_tokens - {SPAN_K - 1}, 1))) AS u(i)),
        f AS (SELECT * FROM spans WHERE span <> ''),
-       bench AS (SELECT DISTINCT span FROM f WHERE doc_id % {DECON_MOD} = 0),
+       bench AS (SELECT span FROM f WHERE doc_id % {DECON_MOD} = 0
+                 GROUP BY span
+                 HAVING COUNT(DISTINCT doc_id) <= {DECON_SPAN_MAX_BDF}),
        hits AS (
          SELECT s.doc_id, s.n_tokens, s.i,
                 LEAST(s.i + {SPAN_K}, s.n_tokens) - 1 AS fin
@@ -1952,8 +1986,10 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
     spans = _exploded_spans(base)
     bench = (
         spans.filter(F.col("doc_id") % DECON_MOD == 0)
+        .groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("bdf"))
+        .filter(F.col("bdf") <= DECON_SPAN_MAX_BDF)
         .select("span")
-        .distinct()
     )
     corp_spans = spans.filter(
         F.col("doc_id").isNull() | (F.col("doc_id") % DECON_MOD != 0)

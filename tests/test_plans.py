@@ -283,12 +283,13 @@ def test_rolling_window_prefix_sum_shape(spark, sf_dir):
         ("q179_sequence_packing", 8, 2),
         ("q184_pack_manifest", 8, 2),
         ("q187_pack_stats", 10, 2),
-        # decontam tier: benchmark span set broadcasts (the counted
-        # guard), corpus stream probed map-side — never more than 3
-        # corpus scans (bench build / hit probe / rewrite join)
-        ("q180_benchmark_decontam", 6, 2),
-        ("q185_decontam_rewrite", 6, 3),
-        ("q186_decontam_accounting", 5, 2),
+        # decontam tier: benchmark span set df-capped (+1 bench-side
+        # aggregate exchange, r11 scale fix) then broadcast (the
+        # counted guard), corpus stream probed map-side — never more
+        # than 3 corpus scans (bench build / hit probe / rewrite join)
+        ("q180_benchmark_decontam", 8, 3),
+        ("q185_decontam_rewrite", 7, 3),
+        ("q186_decontam_accounting", 6, 2),
     ],
 )
 def test_pack_decontam_tier_plan_shape(spark, sf_dir, name, max_exchanges, max_scans):

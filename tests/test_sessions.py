@@ -783,3 +783,61 @@ def test_pack_manifest_slab_boundaries(spark, tmp_path, monkeypatch):
     # doc 0: 1200 tokens -> packs 0,1,2 (3 slices under slab=1)
     assert [r.pack_id for r in rows if r.doc_id == 0] == [0, 1, 2]
     assert sum(r.slice_len for r in rows if r.doc_id == 0) == 1200
+
+
+def test_decontam_bench_df_cap(spark, tmp_path, monkeypatch):
+    """Round-11 scale fix: benchmark spans held by more than
+    DECON_SPAN_MAX_BDF distinct bench docs are boilerplate and must be
+    dropped from the probe (their hit fan-out is B*C per span —
+    measured 16.9x/decade without the cap). With the cap shrunk to 1:
+    a span shared by TWO bench docs stops flagging; a span unique to
+    one bench doc still does. (Spark-side asserts only: the declared
+    oracle interpolates the real constant at import time.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import QUERIES, datapipe
+
+    common = "alpha beta gamma delta epsilon"      # in BOTH bench docs
+    rare = "one two three four five"               # only in bench doc 0
+    texts = {
+        0: f"{common} {rare}",                     # bench (0 % 97 == 0)
+        97: f"{common} filler pad words here",     # bench (97 % 97 == 0)
+        1: f"x {common} y",                        # corpus: common only
+        2: f"x {rare} y",                          # corpus: rare span
+    }
+    ids = sorted(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            "source": pa.array(["t"] * len(ids)),
+        }
+    )
+    d = tmp_path / "dfcap"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    # default cap (100): both corpus docs flag
+    flagged = {
+        r.doc_id
+        for r in QUERIES["q180_benchmark_decontam"](spark, str(d)).collect()
+    }
+    assert flagged == {1, 2}
+
+    # cap 1: the two-bench-doc common span drops; the rare span stays
+    monkeypatch.setattr(datapipe, "DECON_SPAN_MAX_BDF", 1)
+    flagged = {
+        r.doc_id
+        for r in QUERIES["q180_benchmark_decontam"](spark, str(d)).collect()
+    }
+    assert flagged == {2}
+    # and the capped bench set flows through apply: doc 1 passes
+    # through verbatim, doc 2 still has the rare span excised
+    res = {
+        r.doc_id: r.was_contaminated
+        for r in QUERIES["q185_decontam_rewrite"](spark, str(d)).collect()
+    }
+    assert res[1] == 0 and res[2] == 1
