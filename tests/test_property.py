@@ -584,3 +584,113 @@ def test_cc_star_minlabel_unionfind_agree(spark, seed):
     minl = {r.id: r.cid for r in D.connected_components(pairs, max_iter=40).collect()}
     assert star == want
     assert minl == want
+
+
+# ---------------------------------------------------------------------------
+# Packing-tier invariants (round 11): random corpora through q179/q184/
+# q187 must satisfy the structural laws of concat-and-chunk packing —
+# properties the fixed oracle fixtures can't sweep (random doc sizes,
+# empty/NULL mixes, boundary-straddling docs of every phase).
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def random_corpus(draw):
+    """(doc_id, text) rows: random token counts 0..1300 (crossing the
+    512-token pack budget at every phase), with NULL/empty sprinkles
+    and non-contiguous ids."""
+    n = draw(st.integers(3, 12))
+    ids = draw(
+        st.lists(st.integers(0, 4000), min_size=n, max_size=n, unique=True)
+    )
+    rows = []
+    for i in ids:
+        kind = draw(st.sampled_from(["tok", "tok", "tok", "empty", "null"]))
+        if kind == "null":
+            rows.append((i, None))
+        elif kind == "empty":
+            rows.append((i, ""))
+        else:
+            rows.append((i, "w " * draw(st.integers(1, 1300))))
+    return rows
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=random_corpus())
+def test_packing_invariants(spark, tmp_path_factory, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import QUERIES
+    from iceberg_cache_spark.plans.datapipe import PACK_TOKENS
+
+    d = tmp_path_factory.mktemp("packprop")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+            ),
+            "source": pa.array(["t"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    place = QUERIES["q179_sequence_packing"](spark, str(d)).collect()
+    exp_tokens = {
+        i: (len(t.split()) if t else 0) for i, t in rows
+    }
+    exp_packed = {i: n for i, n in exp_tokens.items() if n > 0}
+    # every non-empty doc placed exactly once, in doc_id order, with a
+    # seamless prefix sum (start_off = sum of all smaller-id docs)
+    assert {r.doc_id for r in place} == set(exp_packed)
+    off = 0
+    for r in sorted(place, key=lambda r: r.doc_id):
+        assert r.n_tokens == exp_packed[r.doc_id]
+        assert r.start_off == off
+        assert r.pack_first == off // PACK_TOKENS
+        assert r.pack_last == (off + r.n_tokens - 1) // PACK_TOKENS
+        off += r.n_tokens
+
+    man = QUERIES["q184_pack_manifest"](spark, str(d)).collect()
+    # per-doc slices reassemble the doc exactly: contiguous from 0
+    by_doc: dict = {}
+    for m in man:
+        by_doc.setdefault(m.doc_id, []).append(m)
+    assert set(by_doc) == set(exp_packed)
+    for i, slices in by_doc.items():
+        slices.sort(key=lambda m: m.slice_start)
+        assert slices[0].slice_start == 0
+        pos = 0
+        for s in slices:
+            assert s.slice_start == pos and s.slice_len > 0
+            pos += s.slice_len
+        assert pos == exp_packed[i]
+    # per-pack: positions gap-free from 0; every pack except the last
+    # filled to exactly PACK_TOKENS
+    by_pack: dict = {}
+    for m in man:
+        by_pack.setdefault(m.pack_id, []).append(m)
+    last = max(by_pack)
+    assert set(by_pack) == set(range(last + 1))  # no empty packs
+    for p, slices in by_pack.items():
+        slices.sort(key=lambda m: m.pos_in_pack)
+        pos = 0
+        for s in slices:
+            assert s.pos_in_pack == pos
+            pos += s.slice_len
+        assert pos == PACK_TOKENS if p < last else pos <= PACK_TOKENS
+
+    stats = {
+        r.pack_id: r for r in QUERIES["q187_pack_stats"](spark, str(d)).collect()
+    }
+    assert set(stats) == set(by_pack)
+    for p, slices in by_pack.items():
+        s = stats[p]
+        assert s.n_slices == len(slices)
+        assert s.tokens_filled == sum(m.slice_len for m in slices)
+        whole = sum(1 for m in slices if m.slice_len == exp_packed[m.doc_id])
+        assert s.n_whole_docs == whole
+        assert s.n_split_slices == len(slices) - whole
