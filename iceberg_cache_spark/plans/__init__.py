@@ -207,7 +207,7 @@ HEAD_CURRENT: tuple[str, ...] = (
 def _priority(name: str) -> tuple[int, int, int]:
     """Round-9 protocol, generalized: freshness-rank rotation.
 
-    (0) HEAD_R9 — the driver-red rows carrying this round's fix;
+    (0) HEAD_CURRENT — the driver-red rows carrying this round's fix;
     (1) oracle-matched names with NO driver row yet (new queries need
         their first green);
     (2) every other oracle-matched name, STALEST driver evidence
