@@ -694,3 +694,118 @@ def test_packing_invariants(spark, tmp_path_factory, rows):
         whole = sum(1 for m in slices if m.slice_len == exp_packed[m.doc_id])
         assert s.n_whole_docs == whole
         assert s.n_split_slices == len(slices) - whole
+
+
+# ---------------------------------------------------------------------------
+# Decontamination-triad invariants (round 11): random corpora through
+# q180/q185/q186 must match an independent pure-Python model — a THIRD
+# implementation besides Spark and the DuckDB oracle, covering random
+# overlap/island phases the planted fixtures can't sweep. Texts are
+# single-space lowercase words so whitespace split IS the engine
+# tokenizer on this domain.
+# ---------------------------------------------------------------------------
+
+
+def _decon_model(rows, span_k=5, mod=97):
+    """(doc_id, text) -> (flagged q180 view, q185 rewrite view)."""
+    toks = {i: (t.split() if t else []) for i, t in rows}
+
+    def spans(t):
+        n = len(t)
+        out = []
+        for i in range(max(n - span_k + 1, 1)):
+            s = " ".join(t[i : i + span_k])
+            if s:
+                out.append((i, s))
+        return out
+
+    bench_ids = {i for i, _ in rows if i % mod == 0}
+    bench = {s for i in bench_ids for _, s in spans(toks[i])}
+    rewrite = {}
+    flagged = {}
+    for i, t in rows:
+        if i in bench_ids:
+            continue
+        tt = toks[i]
+        hits = sorted(
+            (p, min(p + span_k, len(tt)) - 1)
+            for p, s in spans(tt)
+            if s in bench
+        )
+        # interval union
+        isles = []
+        for s, e in hits:
+            if isles and s <= isles[-1][1]:
+                isles[-1] = (isles[-1][0], max(isles[-1][1], e))
+            else:
+                isles.append((s, e))
+        kept = [
+            w
+            for k, w in enumerate(tt)
+            if not any(s <= k <= e for s, e in isles)
+        ]
+        rewrite[i] = (" ".join(kept), len(tt), len(kept), 1 if isles else 0)
+        if isles:
+            n_spans = len({s for _, s in spans(tt) if s in bench})
+            flagged[i] = n_spans
+    return flagged, rewrite
+
+
+@st.composite
+def decon_corpus(draw):
+    """Small shared vocabulary so bench/corpus spans actually collide;
+    doc 0 always present (the bench split's anchor)."""
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    n = draw(st.integers(3, 9))
+    ids = [0] + draw(
+        st.lists(st.integers(1, 400), min_size=n, max_size=n, unique=True)
+    )
+    rows = []
+    for i in ids:
+        ln = draw(st.integers(0, 14))
+        words = [draw(st.sampled_from(vocab)) for _ in range(ln)]
+        rows.append((i, " ".join(words)))
+    return rows
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=decon_corpus())
+def test_decontam_triad_matches_python_model(spark, tmp_path_factory, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_cache_spark.plans import QUERIES
+
+    flagged, rewrite = _decon_model(rows)
+    d = tmp_path_factory.mktemp("deconprop")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            "source": pa.array(["t"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got180 = {
+        r.doc_id: r.n_shared_spans
+        for r in QUERIES["q180_benchmark_decontam"](spark, str(d)).collect()
+    }
+    assert got180 == flagged
+
+    got185 = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_kept, r.was_contaminated)
+        for r in QUERIES["q185_decontam_rewrite"](spark, str(d)).collect()
+    }
+    assert got185 == rewrite
+
+    got186 = {
+        r.doc_id: (r.tokens_contaminated, r.n_tokens)
+        for r in QUERIES["q186_decontam_accounting"](spark, str(d)).collect()
+    }
+    assert set(got186) == set(flagged)
+    for i, (masked, n) in got186.items():
+        # accounting must agree with the rewrite's kept count
+        assert n - masked == rewrite[i][2]
