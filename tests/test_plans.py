@@ -283,13 +283,18 @@ def test_rolling_window_prefix_sum_shape(spark, sf_dir):
         ("q179_sequence_packing", 8, 2),
         ("q184_pack_manifest", 8, 2),
         ("q187_pack_stats", 10, 2),
-        # decontam tier: benchmark span set df-capped (+1 bench-side
-        # aggregate exchange, r11 scale fix) then broadcast (the
-        # counted guard), corpus stream probed map-side — never more
-        # than 3 corpus scans (bench build / hit probe / rewrite join)
-        ("q180_benchmark_decontam", 8, 3),
-        ("q185_decontam_rewrite", 7, 3),
-        ("q186_decontam_accounting", 6, 2),
+        # decontam tier (r12 shape): the benchmark span set is built
+        # ONCE per session, persisted via the engine CacheManager, and
+        # served to the guard count + probe join from the same blocks
+        # (_guarded_bench_spans) — the plan STRING therefore embeds
+        # the cached build subtree under InMemoryRelation, whose
+        # Exchanges/scans execute only on the first consumer; the
+        # bounds below are the audited post-r12 string counts. The
+        # InMemoryTableScan assertion is the keystone: losing it means
+        # the bench side re-derives per consumer again (VERDICT r11 #3)
+        ("q180_benchmark_decontam", 12, 5),
+        ("q185_decontam_rewrite", 8, 4),
+        ("q186_decontam_accounting", 7, 3),
     ],
 )
 def test_pack_decontam_tier_plan_shape(spark, sf_dir, name, max_exchanges, max_scans):
@@ -304,5 +309,7 @@ def test_pack_decontam_tier_plan_shape(spark, sf_dir, name, max_exchanges, max_s
     )
     assert plan.count("Scan parquet") <= max_scans
     assert plan.count("BroadcastHashJoin") >= 1  # the tier's keystone
+    if name.startswith(("q180", "q185", "q186")):
+        assert "InMemoryTableScan" in plan  # persisted bench side (r12)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

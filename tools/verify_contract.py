@@ -4,7 +4,7 @@ sf0.01 compared with its oracle_sql() via DuckDB. Writes the
 machine-readable result to CORRECTNESS_local_r{N}.json (full-corpus
 verification regardless of driver sampling — the driver checks only
 the first ~50 registry entries each round). Round number comes from
-SPARK_GRAFT_ROUND (default 11).
+SPARK_GRAFT_ROUND (default 12).
 
 ``build_session()`` and ``load_entry()`` are importable so sibling
 gates (``verify_nulls.py``) run under the IDENTICAL engine settings —
@@ -17,7 +17,7 @@ import os
 import sys
 import time
 
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "11")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "12")
 # Default = the driver's correctness scale; override (e.g. sf0.1) for a
 # heavier cross-check — non-default scales write to a suffixed file so
 # the canonical sf0.01 snapshot is never clobbered.

@@ -19,7 +19,7 @@ import os
 import sys
 import time
 
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "11")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "12")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, f"EMPTYCHECK_r{ROUND}.json")
 

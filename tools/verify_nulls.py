@@ -21,7 +21,7 @@ import os
 import sys
 import time
 
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "11")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "12")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NULL_SF = os.environ.get("SPARK_GRAFT_NULL_SF", "sf0.001")
 SF = os.path.join(REPO, ".nulldata", NULL_SF)

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import sys
 
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "11")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "12")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SKEW_SF = os.environ.get("SPARK_GRAFT_SKEW_SF", "sf0.001")
 SF = os.path.join(REPO, ".skewdata", SKEW_SF)
