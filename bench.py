@@ -35,6 +35,24 @@ Measurement protocol (round 7 — process isolation):
   fails is reported spread_ok=false so the judge sees which numbers
   are unmeasured rather than trusting a noisy median.
 - Driver heap defaults to 32g per child (headroom on the 128 GiB box).
+
+Wall-budget protocol (round 12 — BENCH_r11.json was rc=124/parsed:null:
+the r11 probe tier outgrew the driver's wall cap while the suite itself
+was fine):
+- The HEADLINE deliverables run FIRST — calibration anchors, the 16
+  suite slices, and the cache cold/hit + reuse probes — so the metric
+  line always lands regardless of what the probe tier costs.
+- The scale/skew probe tier runs LAST under a wall budget
+  (``SPARK_GRAFT_BENCH_BUDGET`` seconds, default 2400): probe units are
+  selected STALEST-FIRST (the same discipline the correctness registry
+  applies to queries) from ``BENCH_probe_state.json``, which records
+  when each unit last ran and what it cost; units are taken greedily
+  while their recorded cost fits the remaining budget, the rest are
+  deferred to the next round and listed in the payload's
+  ``probe_rotation.deferred``. A unit never measured before has
+  top priority. The skew probe is one unit; each scale probe is its
+  own unit (they share one child process per run). Full per-unit
+  detail stays in BENCH_local.json as before.
 """
 
 from __future__ import annotations
@@ -56,6 +74,84 @@ os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
 
 SPREAD_MAX = 2.0  # max/min above this => unmeasured, re-run
 SPREAD_ABS_FLOOR = 0.3  # sub-second queries: <=300ms jitter is measured fine
+
+# --- wall-budget / probe-rotation constants (round 12) ----------------------
+# Total wall budget for one bench.py invocation. r10's full run (suite +
+# every probe) completed inside the driver cap; r11's (+7 queries, +4
+# 50k-doc probes) did not (rc=124). 2400 s keeps the whole run safely
+# under the observed cap with the probe tier sized to the remainder.
+BENCH_BUDGET_DEFAULT = 2400.0
+# Reserve at the tail: the last child's JVM teardown + payload write.
+BUDGET_MARGIN = 90.0
+# Cost estimates for units never measured before (state file has no
+# entry): one scale probe = 2 corpora x median-of-3 cells; the skew
+# child = 9 cells x 5 runs on 5M rows + generation-if-missing.
+EST_SCALE_UNIT = 120.0
+EST_SKEW_UNIT = 650.0
+# Fixed per-child overhead of the scale child (JVM start, session
+# warmup, sidecar checks on the generated corpora).
+SCALE_CHILD_OVERHEAD = 45.0
+
+PROBE_STATE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_probe_state.json"
+)
+
+
+def load_probe_state() -> dict:
+    try:
+        with open(PROBE_STATE_PATH) as fh:
+            st = json.load(fh)
+        assert isinstance(st.get("units"), dict)
+        return st
+    except Exception:
+        return {"seq": 0, "units": {}}
+
+
+def save_probe_state(state: dict) -> None:
+    with open(PROBE_STATE_PATH, "w") as fh:
+        json.dump(state, fh, indent=1, sort_keys=True)
+
+
+def select_probe_units(
+    state: dict, unit_names: list[str], budget_left: float
+) -> tuple[list[str], list[str]]:
+    """Greedy stalest-first selection: order by (last_seq asc, cost
+    desc, name) so never-measured units (last_seq=-1) come first and
+    the least recently measured follow; take units while their recorded (or
+    default-estimated) cost fits the remaining budget. Returns
+    (selected, deferred). Deterministic — same state + budget always
+    picks the same units, so a deferred unit's staleness strictly
+    grows until it wins a slot. Equal-staleness ties break by cost
+    DESCENDING: the expensive units (the skew child especially) must
+    claim their slot before cheap units that fit anywhere fill the
+    budget, else they could starve at a uniform state."""
+    units = state.get("units", {})
+
+    def est(name: str) -> float:
+        e = units.get(name, {}).get("cost_sec")
+        if e is not None:
+            return float(e)
+        return EST_SKEW_UNIT if name == "skew" else EST_SCALE_UNIT
+
+    ranked = sorted(
+        unit_names,
+        key=lambda n: (units.get(n, {}).get("last_seq", -1), -est(n), n),
+    )
+    selected, deferred = [], []
+    left = budget_left
+    scale_child_charged = False
+    for name in ranked:
+        cost = est(name)
+        if name != "skew" and not scale_child_charged:
+            cost += SCALE_CHILD_OVERHEAD
+        if cost <= left:
+            selected.append(name)
+            left -= cost
+            if name != "skew":
+                scale_child_charged = True
+        else:
+            deferred.append(name)
+    return selected, deferred
 
 
 def max_omitted(n_queries: int) -> int:
@@ -103,6 +199,11 @@ def compact_line(payload: dict) -> dict:
         "spread_ok": sum(1 for v in spread_ok.values() if v),
         "spread_n": len(spread_ok),
         "cal_drift": (payload.get("calibration") or {}).get("drift_ratio"),
+        # r12 probe rotation: how many probe units were deferred to the
+        # next round by the wall budget (detail in BENCH_local.json)
+        "probes_deferred": len(
+            (payload.get("probe_rotation") or {}).get("deferred", [])
+        ),
         # full detail (names, spreads, probes) is always in
         # BENCH_local.json; no need to spend line chars saying so
     }
@@ -316,7 +417,7 @@ def child_cache_reuse(sf_dir: str, out_path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def child_scale_probe(out_path: str) -> None:
+def child_scale_probe(out_path: str, names: list[str] | None = None) -> None:
     """The dedup tier re-runs on 5k- and 50k-doc corpora generated by
     the SAME density law (Zipf words, Heaps vocabulary —
     tools/gen_scaledata.py), and the ANN tier on 5k/50k-vector
@@ -336,6 +437,7 @@ def child_scale_probe(out_path: str) -> None:
     probe_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
     dirs = {n: ensure_scaledata(default_base(), n) for n in (5_000, 50_000)}
     scale_probe: dict = {}
+    unit_secs: dict[str, float] = {}
 
     def probe_cell(fn, d) -> tuple[float, bool]:
         samples = []
@@ -446,7 +548,16 @@ def child_scale_probe(out_path: str) -> None:
         "r5-and-earlier medians include build cost — not comparable)",
     )
 
+    # probe rotation (round 12): the parent passes the stalest-first
+    # budgeted subset; an empty/absent list means run everything
+    # (standalone invocation / tooling)
+    if names:
+        unknown = [n for n in names if n not in all_probes]
+        assert not unknown, f"unknown scale-probe units: {unknown}"
+        all_probes = {n: all_probes[n] for n in names}
+
     def run_probe(name, make_fn, note, remeasured=False):
+        u0 = time.perf_counter()
         t, ok = {}, {}
         for n, d in dirs.items():
             t[n], ok[n] = probe_cell(make_fn(n), d)
@@ -463,6 +574,11 @@ def child_scale_probe(out_path: str) -> None:
         if remeasured:
             entry["remeasured"] = True
         scale_probe[name] = entry
+        # wall cost of the unit (both cells, all runs) for the
+        # rotation state; re-measure passes accumulate
+        unit_secs[name] = round(
+            unit_secs.get(name, 0.0) + time.perf_counter() - u0, 1
+        )
 
     for name, (make_fn, note) in all_probes.items():
         run_probe(name, make_fn, note)
@@ -475,7 +591,7 @@ def child_scale_probe(out_path: str) -> None:
             run_probe(name, make_fn, note, remeasured=True)
 
     with open(out_path, "w") as fh:
-        json.dump(scale_probe, fh)
+        json.dump({"probes": scale_probe, "unit_secs": unit_secs}, fh)
     spark.stop()
 
 
@@ -662,7 +778,30 @@ def _run_child(args: list[str]) -> None:
     raise RuntimeError(f"bench child failed twice: {args}")
 
 
+# Scale-probe unit names (parent-side copy for rotation selection; the
+# child asserts every requested name exists, so a drift between this
+# list and child_scale_probe's registry fails loudly, not silently).
+SCALE_PROBE_UNITS = [
+    "q152_sessionization", "q153_rolling_window", "q156_session_funnel",
+    "q175_gapfill_locf", "q176_gapfill_interpolate",
+    "q62_minhash_near_dup", "q63_simhash_near_dup", "q64_ngram_jaccard",
+    "q74_ppjoin_jaccard", "q116_dedup_clusters", "q145_chunk_dedup",
+    "q149_incremental_dedup", "q174_span_excision",
+    "q178_span_excision_rewrite", "q177_perceptual_near_dup",
+    "q179_sequence_packing", "q180_benchmark_decontam",
+    "q184_pack_manifest", "q185_decontam_rewrite",
+    "q186_decontam_accounting", "q187_pack_stats",
+    "q71_lsh_cosine_topk", "q73_ivf_cosine_topk",
+    "q126_cluster_balanced_sample",
+    "q72_embedding_near_dup_scaledplanes", "q73_ivf_scaledcells",
+]
+
+
 def main() -> None:
+    t_start = time.monotonic()
+    budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET", str(BENCH_BUDGET_DEFAULT))
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -671,7 +810,7 @@ def main() -> None:
     from iceberg_cache_spark.plans import QUERIES
 
     n = len(QUERIES)
-    tmpdir = tempfile.mkdtemp(prefix="bench_r7_")
+    tmpdir = tempfile.mkdtemp(prefix="bench_r12_")
 
     times: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
@@ -688,21 +827,9 @@ def main() -> None:
         with open(cal_out) as fh:
             calibration = json.load(fh)
 
-    # scale probe next (fresh machine, matching prior rounds' order)
-    scale_probe: dict = {}
-    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
-        probe_out = os.path.join(tmpdir, "scale_probe.json")
-        _run_child(["--scale-probe", probe_out])
-        with open(probe_out) as fh:
-            scale_probe = json.load(fh)
-
-    skew_probe: dict = {}
-    if os.environ.get("SPARK_GRAFT_SKEW_PROBE", "1") != "0":
-        skew_out = os.path.join(tmpdir, "skew_probe.json")
-        _run_child(["--skew-probe", skew_out])
-        with open(skew_out) as fh:
-            skew_probe = json.load(fh)
-
+    # THE HEADLINE DELIVERABLES NEXT (round 12 — VERDICT r11 #1): the
+    # 16 suite slices and the cache probes always land; the probe tier
+    # runs LAST under the wall budget.
     for lo in range(0, n, group_size):
         hi = min(lo + group_size, n)
         out = os.path.join(tmpdir, f"slice_{lo}_{hi}.json")
@@ -725,6 +852,54 @@ def main() -> None:
     with open(reuse_out) as fh:
         cache_reuse = json.load(fh)
 
+    # --- probe tier, stalest-first under the remaining wall budget ---
+    probe_state = load_probe_state()
+    probe_state["seq"] = int(probe_state.get("seq", 0)) + 1
+    seq = probe_state["seq"]
+    unit_names: list[str] = []
+    if os.environ.get("SPARK_GRAFT_SKEW_PROBE", "1") != "0":
+        unit_names.append("skew")
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        unit_names.extend(SCALE_PROBE_UNITS)
+    budget_left = budget - (time.monotonic() - t_start) - BUDGET_MARGIN
+    selected, deferred = select_probe_units(
+        probe_state, unit_names, budget_left
+    )
+    probe_rotation = {
+        "budget_sec": budget,
+        "elapsed_at_probes_sec": round(time.monotonic() - t_start, 1),
+        "ran": selected,
+        "deferred": deferred,
+        "seq": seq,
+    }
+
+    skew_probe: dict = {}
+    if "skew" in selected:
+        skew_out = os.path.join(tmpdir, "skew_probe.json")
+        t0 = time.monotonic()
+        _run_child(["--skew-probe", skew_out])
+        with open(skew_out) as fh:
+            skew_probe = json.load(fh)
+        probe_state["units"]["skew"] = {
+            "last_seq": seq,
+            "cost_sec": round(time.monotonic() - t0, 1),
+        }
+
+    scale_probe: dict = {}
+    scale_selected = [u for u in selected if u != "skew"]
+    if scale_selected:
+        probe_out = os.path.join(tmpdir, "scale_probe.json")
+        _run_child(["--scale-probe", probe_out] + scale_selected)
+        with open(probe_out) as fh:
+            scale_out = json.load(fh)
+        scale_probe = scale_out["probes"]
+        for uname, usec in scale_out["unit_secs"].items():
+            probe_state["units"][uname] = {
+                "last_seq": seq,
+                "cost_sec": usec,
+            }
+    save_probe_state(probe_state)
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "declared_query_suite_total",
@@ -737,6 +912,7 @@ def main() -> None:
         "remeasured": remeasured,
         "scale_probe": scale_probe,
         "skew_probe": skew_probe,
+        "probe_rotation": probe_rotation,
         "calibration": calibration,
         "value_drift_normalized": (
             round(total / calibration["drift_ratio"], 3)
@@ -777,7 +953,7 @@ if __name__ == "__main__":
             sys.argv[2],
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "--scale-probe":
-        child_scale_probe(sys.argv[2])
+        child_scale_probe(sys.argv[2], sys.argv[3:] or None)
     elif len(sys.argv) > 1 and sys.argv[1] == "--skew-probe":
         child_skew_probe(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--cache":

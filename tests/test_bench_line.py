@@ -114,3 +114,70 @@ def test_child_failing_twice_raises(monkeypatch):
     with pytest.raises(RuntimeError, match="failed twice"):
         bench._run_child(["--cache", "/tmp/y.json"])
     assert bench.CHILD_RETRIES == []
+
+
+# --- round-12 probe rotation (wall-budget guard, VERDICT r11 #1) ----------
+
+
+def test_probe_rotation_stalest_first_and_self_correcting():
+    """Deferred units strictly gain priority: simulate rounds at a
+    fixed budget and assert every unit is measured within 3 rounds of
+    its last run (no starvation), the selection is deterministic, and
+    the stalest unit always wins a slot it fits in."""
+    units = {f"q{i:03d}": {"last_seq": 0, "cost_sec": 100.0} for i in range(10)}
+    units["skew"] = {"last_seq": 0, "cost_sec": 600.0}
+    state = {"seq": 0, "units": units}
+    names = sorted(units)
+    for rnd in range(1, 7):
+        sel, defer = bench.select_probe_units(state, names, 700.0)
+        assert sel, "budget of 700 must fit at least one unit"
+        # stalest-first: nothing selected is fresher than something
+        # deferred-that-would-fit
+        min_sel = min(state["units"][u]["last_seq"] for u in sel)
+        for d in defer:
+            assert state["units"][d]["last_seq"] >= min_sel or (
+                state["units"][d]["cost_sec"] > 700.0
+            )
+        for u in sel:
+            state["units"][u]["last_seq"] = rnd
+    staleness = {u: 6 - v["last_seq"] for u, v in state["units"].items()}
+    assert max(staleness.values()) <= 3, f"starved units: {staleness}"
+
+
+def test_probe_rotation_expensive_units_do_not_starve():
+    """Equal staleness → cost-descending: the 600s skew unit must be
+    taken FIRST at a uniform state, not squeezed out by cheap units."""
+    units = {f"q{i:03d}": {"last_seq": 0, "cost_sec": 50.0} for i in range(20)}
+    units["skew"] = {"last_seq": 0, "cost_sec": 600.0}
+    sel, _ = bench.select_probe_units(
+        {"seq": 0, "units": units}, sorted(units), 700.0
+    )
+    assert sel[0] == "skew"
+
+
+def test_probe_rotation_never_measured_first():
+    """A unit with no state entry (new probe this round) outranks every
+    previously measured unit."""
+    units = {"q_old": {"last_seq": 5, "cost_sec": 10.0}}
+    sel, _ = bench.select_probe_units(
+        {"seq": 5, "units": units}, ["q_old", "q_new"], 10_000.0
+    )
+    assert sel[0] == "q_new"
+
+
+def test_probe_rotation_zero_budget_defers_everything():
+    units = {"a": {"last_seq": 0, "cost_sec": 50.0}}
+    sel, defer = bench.select_probe_units(
+        {"seq": 0, "units": units}, ["a"], 0.0
+    )
+    assert sel == [] and defer == ["a"]
+
+
+def test_probe_state_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        bench, "PROBE_STATE_PATH", str(tmp_path / "state.json")
+    )
+    assert bench.load_probe_state() == {"seq": 0, "units": {}}
+    st = {"seq": 3, "units": {"skew": {"last_seq": 3, "cost_sec": 601.4}}}
+    bench.save_probe_state(st)
+    assert bench.load_probe_state() == st
