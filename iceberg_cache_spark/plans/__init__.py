@@ -192,15 +192,16 @@ HEAD_R9 = (
     "q172_rolling_window_auto",
 )
 
-# Round 11: the r10 driver left ONE red row — q179's value hash, root
-# cause the oracle's uncast HUGEINT window sum rendered as float64 at
-# the Arrow layer (fixed: BIGINT cast + the compare()-level type-family
-# gate + tools/audit_oracle_types.py). q179 re-leads carrying the fix,
-# followed by q183, the one-construct token-count probe that bisects
-# any residual red into tokenizer-vs-cumsum.
+# Round 12: the r11 driver left ZERO reds, so nothing re-leads a fix.
+# The decontamination triad leads instead because its SEMANTICS changed
+# this round (ADVICE r11 #3: NULL-doc_id docs now pass through
+# unflagged across find/account/apply, oracles updated to match) — a
+# query whose contract changed needs a fresh driver row ahead of the
+# stale-evidence rotation even though its r11 row was green.
 HEAD_CURRENT: tuple[str, ...] = (
-    "q179_sequence_packing",
-    "q183_token_count_probe",
+    "q180_benchmark_decontam",
+    "q186_decontam_accounting",
+    "q185_decontam_rewrite",
 )
 
 
@@ -388,6 +389,33 @@ DRIVER_VERIFIED_R10 = frozenset(
 )
 
 
+# Names the round-11 driver hash-verified green (CORRECTNESS_r11.json:
+# all 50 sampled rows — first greens for the r11 apply/accounting tier
+# q183–q187, the q179 type-parity fix certified, and the stale-r8 band
+# re-certified).
+DRIVER_VERIFIED_R11 = frozenset(
+    {
+        "q104_null_safe_eq", "q105_rank_fns", "q159_repeated_spans",
+        "q160_weighted_sample", "q161_mixture_sample", "q162_percentile_clip",
+        "q163_unigram_logprob", "q164_pmi_collocations", "q165_token_novelty",
+        "q167_sessionization_chunked", "q168_session_funnel_chunked",
+        "q179_sequence_packing", "q183_token_count_probe", "q184_pack_manifest",
+        "q185_decontam_rewrite", "q186_decontam_accounting", "q187_pack_stats",
+        "q19_tpch_q3", "q28_grouping_sets", "q29_percentile", "q38_struct_map",
+        "q50_string_funcs", "q51_regex", "q52_math_funcs", "q53_date_funcs",
+        "q54_timestamp_trunc", "q55_greatest_least", "q56_hash_funcs",
+        "q57_array_funcs", "q58_json", "q60_exact_dedup",
+        "q61_fingerprint_dedup", "q64_ngram_jaccard", "q65_token_stats",
+        "q66_quality_score", "q67_lang_id", "q68_pii_scrub",
+        "q69_quality_filter", "q70_cosine_topk", "q74_ppjoin_jaccard",
+        "q78_intersect_all", "q79_correlated_exists_ineq",
+        "q80_tumbling_window", "q81_session_window", "q82_sliding_window",
+        "q90_multimodal_features", "q91_doc_chunking", "q92_pandas_udf_norm",
+        "q93_bpe_token_stats", "q94_vocabulary",
+    }
+)
+
+
 # name -> the LATEST round whose driver run hash-certified it (the
 # freshness rank the r9 rotation sorts on; later rounds overwrite).
 _FRESHEST_ROUND: dict[str, int] = {}
@@ -402,6 +430,7 @@ for _round, _certified in (
     (8, DRIVER_VERIFIED_R8),
     (9, DRIVER_VERIFIED_R9),
     (10, DRIVER_VERIFIED_R10),
+    (11, DRIVER_VERIFIED_R11),
 ):
     for _n in _certified:
         _FRESHEST_ROUND[_n] = _round
@@ -433,6 +462,7 @@ __all__ = [
     "DRIVER_VERIFIED_R8",
     "DRIVER_VERIFIED_R9",
     "DRIVER_VERIFIED_R10",
+    "DRIVER_VERIFIED_R11",
     "HEAD_R6",
     "DEFER_R6",
     "HEAD_R7",
