@@ -482,6 +482,9 @@ def child_scale_probe(out_path: str, names: list[str] | None = None) -> None:
         "q184_pack_manifest", "q185_decontam_rewrite",
         # r11 accounting tier: same fronts, one hash aggregate each
         "q186_decontam_accounting", "q187_pack_stats",
+        # r12: the per-bench-doc report shares q180's front; its own
+        # cell tracks the bdoc-keyed aggregate's fan-out
+        "q188_decontam_bench_report",
     ]
     # ANN tier. q71/q73/q126 probe their declared configs (fixed
     # plane/cell counts keep them linear: candidate work per query is
@@ -791,6 +794,7 @@ SCALE_PROBE_UNITS = [
     "q179_sequence_packing", "q180_benchmark_decontam",
     "q184_pack_manifest", "q185_decontam_rewrite",
     "q186_decontam_accounting", "q187_pack_stats",
+    "q188_decontam_bench_report",
     "q71_lsh_cosine_topk", "q73_ivf_cosine_topk",
     "q126_cluster_balanced_sample",
     "q72_embedding_near_dup_scaledplanes", "q73_ivf_scaledcells",

@@ -1321,10 +1321,13 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     Plan shape at 100 TB: the island chain is the shared
     driver-certified q174 pipeline (broadcast registry probe, ROWS-
     frame interval union bounded by one doc's hits); the per-doc
-    island LIST (collect_list over ≤ hits-per-doc merged intervals —
-    tiny by construction) left-joins back to the corpus and the
-    rewrite itself is a Catalyst higher-order ``F.filter`` with an
-    index lambda over the token array — per-row, JVM-side, zero
+    island LIST (sorted collect_list over ≤ hits-per-doc merged
+    intervals — tiny by construction) left-joins back to the corpus
+    and the rewrite walks the gaps BETWEEN the sorted islands and
+    slices the token array segment-wise (Catalyst higher-order
+    transform/slice/aggregate, O(tokens + islands) per doc — round 12
+    replaced the per-token membership lambda the hot-doc probe
+    measured at O(tokens x islands)) — per-row, JVM-side, zero
     additional shuffle beyond the island agg + one co-keyed join.
     Never a positional explode of the corpus (that would rebuild
     every document through a shuffle). Docs with no hits pass through
@@ -1336,7 +1339,7 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     is '' — the oracle COALESCEs all-excised/empty docs to '')."""
     base = _span_base(T(spark, sf, "documents"))
     isln = _excision_islands(base).groupBy("doc_id").agg(
-        F.collect_list(F.struct("s", "e")).alias("isls")
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("isls")
     )
     j = base.join(isln, ["doc_id"], "left")
     return j.select(
@@ -1344,36 +1347,57 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "text_clean")
 
 
-def _kept_tokens(t):
-    """Catalyst higher-order rewrite shared by q178/q185: keep the
-    tokens of array column ``t`` whose (1-based) index falls in none of
-    the row's merged ``isls`` intervals — per-row, JVM-side, zero
-    shuffle."""
-    return F.filter(
-        t,
-        lambda x, k: ~F.exists(
-            F.col("isls"), lambda r: (k >= r["s"]) & (k <= r["e"])
-        ),
-    )
+# The kept [a, b] (0-based, inclusive) token-index segments BETWEEN a
+# row's merged excision islands — the gap before each island (indexed
+# access to the previous island's end, O(1) per island) plus the tail
+# gap after the last island. Requires ``isls`` SORTED ascending by s
+# (sort_array at the collect site) and disjoint (guaranteed by the
+# island merge). O(islands) per row — the round-12 replacement for the
+# per-token membership lambda, which was O(tokens x islands) per doc
+# and blew up on the hot-DOC probe (SCALE_r12.md: a tiled mega-doc
+# holds one island per ~56-token tile, so a 500k-token doc carries
+# ~9k islands and the old rewrite did ~4.5e9 interval checks TWICE).
+_SEGS_SQL = """concat(
+    filter(
+      transform(isls, (r, i) -> struct(
+        CAST(IF(i = 0, 0, element_at(isls, i).e + 1) AS BIGINT) AS a,
+        CAST(r.s - 1 AS BIGINT) AS b)),
+      g -> g.a <= g.b),
+    IF(element_at(isls, -1).e + 1 <= n_tokens - 1,
+       array(struct(CAST(element_at(isls, -1).e + 1 AS BIGINT) AS a,
+                    CAST(n_tokens - 1 AS BIGINT) AS b)),
+       CAST(array() AS array<struct<a:bigint,b:bigint>>)))"""
 
 
 def _rewrite_cols() -> list:
     """The excision-rewrite projection shared by q178/q185: expects
-    columns (t, n_tokens, isls) in scope; yields text_clean / n_tokens
-    / n_kept. Docs with no islands pass through verbatim; NULL texts
-    stay NULL with n_kept 0 (matching the oracles' CASE arms)."""
-    return [
-        F.when(F.col("t").isNull(), F.lit(None).cast("string"))
-        .when(F.col("isls").isNull(), F.array_join("t", " "))
-        .otherwise(F.array_join(_kept_tokens(F.col("t")), " "))
-        .alias("text_clean"),
-        F.col("n_tokens"),
-        F.when(F.col("t").isNull(), F.lit(0))
-        .when(F.col("isls").isNull(), F.size("t"))
-        .otherwise(F.size(_kept_tokens(F.col("t"))))
-        .cast("bigint")
-        .alias("n_kept"),
-    ]
+    columns (t, n_tokens, isls) in scope — ``isls`` sorted ascending —
+    and yields text_clean / n_tokens / n_kept. Docs with no islands
+    pass through verbatim; NULL texts stay NULL with n_kept 0
+    (matching the oracles' CASE arms).
+
+    Round 12: the rewrite walks the GAPS between islands and slices
+    the token array segment-wise (O(tokens + islands) per doc), and
+    n_kept sums segment lengths WITHOUT touching the token array
+    (O(islands)). The previous per-token `filter(t, k -> !exists(isls,
+    ...))` lambda was O(tokens x islands) and ran twice (text_clean +
+    n_kept); identical output, hash-certified both shapes."""
+    text_clean = F.expr(
+        f"""CASE WHEN t IS NULL THEN NULL
+             WHEN isls IS NULL THEN array_join(t, ' ')
+             ELSE array_join(flatten(transform({_SEGS_SQL},
+                  g -> slice(t, CAST(g.a + 1 AS INT),
+                             CAST(g.b - g.a + 1 AS INT)))), ' ')
+        END"""
+    ).alias("text_clean")
+    n_kept = F.expr(
+        f"""CAST(CASE WHEN t IS NULL THEN 0
+             WHEN isls IS NULL THEN size(t)
+             ELSE aggregate({_SEGS_SQL}, CAST(0 AS BIGINT),
+                            (acc, g) -> acc + g.b - g.a + 1)
+        END AS BIGINT)"""
+    ).alias("n_kept")
+    return [text_clean, F.col("n_tokens"), n_kept]
 
 
 # ---------------------------------------------------------------------------
@@ -1923,8 +1947,9 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
     fallback past it — see q180); corpus spans are probed map-side,
     hit intervals union per-doc via the shared q174/q178 ROWS-frame
     island merge (task bounded by one doc's hits), and the rewrite is
-    the shared Catalyst higher-order F.filter index lambda — per-row,
-    JVM-side, never a positional re-explode of the corpus. NULL
+    the shared segment-wise gap walk over the sorted islands
+    (O(tokens + islands) per doc, see _rewrite_cols — round 12) —
+    per-row, JVM-side, never a positional re-explode of the corpus. NULL
     doc_ids pass through verbatim with was_contaminated=0 on both
     engines — and since round 12 they are filtered BEFORE the island
     merge on both engines too (ADVICE r11 #3: the equi-join back to
@@ -1946,7 +1971,7 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
         (F.least(F.col("i") + SPAN_K, F.col("n_tokens")) - 1).alias("fin"),
     )
     isln = _merge_islands(hits).groupBy("doc_id").agg(
-        F.collect_list(F.struct("s", "e")).alias("isls")
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("isls")
     )
     corp = base.filter(
         F.col("doc_id").isNull() | (F.col("doc_id") % DECON_MOD != 0)
@@ -2152,3 +2177,227 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
 
 
 q187.__doc__ = q187.__doc__.replace("{PACK}", str(PACK_TOKENS))
+
+
+@declared(
+    "q188_decontam_bench_report",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       base AS (SELECT doc_id, t, COALESCE(len(t), 0) AS n_tokens FROM toks),
+       spans AS (
+         SELECT doc_id,
+                array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+{SPAN_K} AS BIGINT)],
+                                ' ') AS span
+         FROM base,
+              UNNEST(range(greatest(n_tokens - {SPAN_K - 1}, 1))) AS u(i)),
+       f AS (SELECT DISTINCT doc_id, span FROM spans WHERE span <> ''),
+       bench0 AS (SELECT doc_id AS bdoc, span FROM f
+                  WHERE doc_id % {DECON_MOD} = 0),
+       bench AS (SELECT b.bdoc, b.span FROM bench0 b
+                 JOIN (SELECT span FROM bench0 GROUP BY span
+                       HAVING COUNT(DISTINCT bdoc) <= {DECON_SPAN_MAX_BDF})
+                      r ON b.span = r.span),
+       corp AS (SELECT doc_id, span FROM spans
+                WHERE span <> '' AND doc_id IS NOT NULL
+                  AND doc_id % {DECON_MOD} <> 0),
+       hit AS (SELECT c.doc_id, c.span, b.bdoc
+               FROM corp c JOIN bench b ON c.span = b.span)
+       SELECT bdoc AS bench_doc_id,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_corpus_docs,
+              CAST(COUNT(DISTINCT span) AS BIGINT) AS n_leaked_spans,
+              CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       FROM hit GROUP BY bdoc ORDER BY bench_doc_id""",
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-BENCHMARK-doc contamination report (round 12): the
+    symmetric view of q180 — q180 tells the training side which corpus
+    docs to clean; this tells the EVAL owner which benchmark items are
+    compromised and how broadly (distinct training docs carrying the
+    item's spans, distinct leaked spans, and total corpus-side
+    occurrences). A real deployment publishes exactly this table next
+    to every eval score ("n of the benchmark's items appear verbatim
+    in training data").
+
+    Plan shape: shares q180's entire front — the (bdoc, span) bench
+    set is the SAME _guarded_bench_spans cache entry (one bench-side
+    pass per session covers both queries; this builder is EAGER, see
+    that helper), the corpus span stream is probed map-side, and the
+    report is one hash aggregate on the sparse hit stream keyed by
+    bdoc instead of doc_id. NULL-doc_id docs pass through unflagged
+    (the triad contract). The corpus stream keeps duplicate span
+    occurrences so n_occurrences counts real positions (the oracle's
+    corp CTE deliberately skips the DISTINCT its q180 twin applies)."""
+    base = _span_base(T(spark, sf, "documents"))
+    all_spans = _exploded_spans(base).select("doc_id", "span")
+    corp = all_spans.filter(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") % DECON_MOD != 0)
+    )
+    hit = corp.join(_guarded_bench_spans(spark, sf, with_bdoc=True), "span")
+    return (
+        hit.groupBy(F.col("bdoc").alias("bench_doc_id"))
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_corpus_docs"),
+            F.count_distinct("span").cast("bigint").alias("n_leaked_spans"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("bench_doc_id")
+    )
+
+
+# Packs per training shard for q189. Small at the gate scale (the
+# fixtures fill ~55 packs, so 16/shard yields a non-degenerate multi-
+# shard manifest); a production run sets this so a shard holds the
+# loader's unit of work (e.g. 200k packs ~ 100M tokens per shard) —
+# the arithmetic is identical, only the constant changes.
+PACKS_PER_SHARD = 16
+
+
+@declared(
+    "q189_shard_manifest",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+         WHERE doc_id IS NOT NULL),
+       g AS (SELECT doc_id,
+                    CAST(SUM(COALESCE(len(t), 0)) AS BIGINT) AS n_tokens
+             FROM toks GROUP BY doc_id),
+       f AS (SELECT doc_id, n_tokens FROM g WHERE n_tokens > 0),
+       c AS (SELECT doc_id, n_tokens,
+                    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_off
+             FROM f),
+       e AS (SELECT doc_id, n_tokens, start_off, CAST(p AS BIGINT) AS pack_id
+             FROM c,
+                  UNNEST(range(start_off // {PACK_TOKENS},
+                               (start_off + n_tokens - 1) // {PACK_TOKENS}
+                               + 1)) AS u(p)),
+       s AS (SELECT pack_id // {PACKS_PER_SHARD} AS shard_id, pack_id, doc_id,
+                    LEAST(start_off + n_tokens,
+                          (pack_id + 1) * {PACK_TOKENS})
+                    - GREATEST(start_off, pack_id * {PACK_TOKENS})
+                      AS slice_len
+             FROM e)
+       SELECT CAST(shard_id AS BIGINT) AS shard_id,
+              CAST(MIN(pack_id) AS BIGINT) AS first_pack,
+              CAST(MAX(pack_id) AS BIGINT) AS last_pack,
+              CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+              CAST(COUNT(*) AS BIGINT) AS n_slices,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(SUM(slice_len) AS BIGINT) AS tokens_filled
+       FROM s GROUP BY shard_id ORDER BY shard_id""",
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-SHARD manifest (round 12): groups q184's pack manifest
+    into loader shards of {PPS} packs — per shard: pack range, pack/
+    slice/doc counts, and filled tokens. This is the unit a data
+    loader actually schedules (one shard = one reader task / one
+    file), completing the packing tier's place (q179) → pack manifest
+    (q184) → pack stats (q187) → SHARD manifest chain.
+
+    Plan shape: the shared manifest frame (two-level exact prefix sum
+    + map-side slab-bounded explode — see q184) feeds one hash
+    aggregate keyed by pack_id DIV {PPS}; shard_id is arithmetic on
+    pack_id, so no extra shuffle beyond the aggregate + presentation
+    sort. Pure integer arithmetic, hash-matched oracle."""
+    mf = _pack_manifest(spark, sf).withColumn(
+        "shard_id",
+        F.expr(f"CAST(pack_id DIV {PACKS_PER_SHARD} AS BIGINT)"),
+    )
+    return (
+        mf.groupBy("shard_id")
+        .agg(
+            F.min("pack_id").cast("bigint").alias("first_pack"),
+            F.max("pack_id").cast("bigint").alias("last_pack"),
+            F.count_distinct("pack_id").cast("bigint").alias("n_packs"),
+            F.count("*").cast("bigint").alias("n_slices"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("slice_len").cast("bigint").alias("tokens_filled"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+q189.__doc__ = q189.__doc__.replace("{PPS}", str(PACKS_PER_SHARD))
+
+
+@declared(
+    "q190_source_mixture_plan",
+    f"""WITH toks AS (
+         SELECT source, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+         WHERE doc_id IS NOT NULL),
+       per_src AS (
+         SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(COALESCE(len(t), 0)) AS BIGINT) AS n_tokens
+         FROM toks GROUP BY source),
+       tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                      CAST(COUNT(*) AS BIGINT) AS n_sources
+               FROM per_src)
+       SELECT source, n_docs, n_tokens,
+              CASE WHEN total_tokens = 0 THEN NULL
+                   ELSE CAST(n_tokens * 1000000 // total_tokens AS BIGINT)
+              END AS token_share_e6,
+              CAST(1000000 // n_sources AS BIGINT) AS target_share_e6,
+              CASE WHEN n_tokens = 0 THEN NULL
+                   ELSE CAST(total_tokens * 1000000
+                             // (n_sources * n_tokens) AS BIGINT)
+              END AS sample_rate_e6
+       FROM per_src, tot ORDER BY source""",
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-MIXTURE sampling plan (round 12): the static mixture
+    calculation every pretraining data pipeline runs before packing —
+    per source: docs, tokens, actual token share, the target share
+    (uniform-over-sources here; a production run feeds learned DoReMi/
+    downstream-tuned weights — the arithmetic is identical), and the
+    sampling rate that rebalances the corpus to the target
+    (rate > 1e6 means the source upsamples, i.e. epochs > 1). Fixed-
+    point e6 integers end-to-end so both engines agree bit-for-bit.
+
+    Plan shape at 100 TB: one map-side-combinable hash aggregate per
+    source (sources number in the dozens), then the 1-row totals
+    broadcast back over the per-source frame — the same
+    broadcast-singleton pattern as the engine's other global-ratio
+    queries; no corpus-sized shuffle anywhere. Zero-token guards are
+    explicit CASE/NULL on both engines (ANSI-safe: neither engine
+    divides by zero)."""
+    d = T(spark, sf, "documents").where(F.col("doc_id").isNotNull())
+    per_src = d.select(
+        "source",
+        F.coalesce(
+            F.when(
+                F.col("text").isNotNull(),
+                F.size(_text_tokens(F.col("text"))).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("toks"),
+    ).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.when(F.col("total_tokens") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr("CAST(n_tokens * 1000000 DIV total_tokens AS BIGINT)")
+        )
+        .alias("token_share_e6"),
+        F.expr("CAST(1000000 DIV n_sources AS BIGINT)").alias(
+            "target_share_e6"
+        ),
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "CAST(total_tokens * 1000000 DIV (n_sources * n_tokens)"
+                " AS BIGINT)"
+            )
+        )
+        .alias("sample_rate_e6"),
+    ).orderBy("source")

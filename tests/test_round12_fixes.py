@@ -264,3 +264,70 @@ def test_readme_query_count_matches_registry():
         f"README claims {m.group(1)} declared queries; registry has "
         f"{len(QUERIES)} — update README.md"
     )
+
+
+@pytest.fixture(scope="module")
+def multi_island_dir(tmp_path_factory) -> str:
+    """A corpus doc with MANY disjoint excision islands — the gap-walk
+    rewrite's interesting path (round 12 replaced the O(tokens x
+    islands) membership lambda after the hot-doc probe measured the
+    old shape at 823 s on a 9k-island mega-doc; the planted corpus
+    exercises multi-island gap slicing at test cost). Bench doc 97
+    carries 8 separate 5-token spans; corpus doc 3 interleaves each
+    span between unique filler, yielding 8 disjoint islands, including
+    one at position 0 and one at the exact tail."""
+    d = tmp_path_factory.mktemp("multi_island")
+    leak = [f"leak{j}a leak{j}b leak{j}c leak{j}d leak{j}e" for j in range(8)]
+    bench_text = " xx yy ".join(leak)
+    corpus_tokens: list[str] = []
+    for j, span in enumerate(leak):
+        if j > 0:
+            corpus_tokens.extend([f"gapA{j}", f"gapB{j}", f"gapC{j}"])
+        corpus_tokens.append(span)
+    head_text = " ".join(corpus_tokens)            # island at pos 0 + tail
+    mid_text = "start pad " + head_text + " tail pad"  # islands interior
+    rows = [
+        (97, bench_text),
+        (3, head_text),
+        (5, mid_text),
+        (7, "clean document nothing leaked here at all"),
+    ]
+    _write_documents(str(d), rows)
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q185_decontam_rewrite",
+        "q186_decontam_accounting",
+        "q178_span_excision_rewrite",
+    ],
+)
+def test_multi_island_gap_walk_matches_oracle(spark, multi_island_dir, name):
+    compare(QUERIES[name](spark, multi_island_dir), ORACLE[name], multi_island_dir)
+
+
+def test_multi_island_semantics(spark, multi_island_dir):
+    """The planted doc really produced multiple islands and the
+    gap-walk excised exactly the leaked spans (boundary islands at
+    position 0 and the array tail included)."""
+    acct = {
+        r.doc_id: r
+        for r in QUERIES["q186_decontam_accounting"](
+            spark, multi_island_dir
+        ).collect()
+    }
+    assert acct[3].n_islands >= 6, acct[3]
+    rew = {
+        r.doc_id: r
+        for r in QUERIES["q185_decontam_rewrite"](
+            spark, multi_island_dir
+        ).collect()
+    }
+    assert rew[3].was_contaminated == 1
+    assert "leak0a" not in rew[3].text_clean
+    assert "gapa1" in rew[3].text_clean  # inter-island filler survives (tokenizer lowercases)
+    assert rew[5].text_clean.startswith("start pad")
+    assert rew[5].text_clean.endswith("tail pad")
+    assert rew[7].text_clean == "clean document nothing leaked here at all"
