@@ -160,11 +160,12 @@ def max_omitted(n_queries: int) -> int:
     (r10: the test's hand-scaled max(15, n//8)=22 bound failed on the
     committed payload's 23 omissions by ONE). The char budget is fixed
     by the driver's ~2000-char stdout capture, so a growing registry
-    necessarily drops more of the sub-0.1s tail; ceil(n/7) tracks the
-    measured fit (176 queries -> 23 omitted) with headroom for a few
-    new queries per round. Every multi-second query stays on the line
-    regardless — omission is costliest-first from the cheap end."""
-    return max(15, -(-n_queries // 7))
+    necessarily drops more of the sub-0.1s tail; ceil(n/6) tracks the
+    measured fit (r12: 184 queries + the probes_deferred field -> 30
+    omitted) with headroom for a few new queries per round. Every
+    multi-second query stays on the line regardless — omission is
+    costliest-first from the cheap end."""
+    return max(15, -(-n_queries // 6))
 
 
 def compact_line(payload: dict) -> dict:
