@@ -200,6 +200,9 @@ def compact_line(payload: dict) -> dict:
         "spread_ok": sum(1 for v in spread_ok.values() if v),
         "spread_n": len(spread_ok),
         "cal_drift": (payload.get("calibration") or {}).get("drift_ratio"),
+        "cal_suspect": (payload.get("calibration") or {}).get(
+            "calibration_suspect"
+        ),
         # r12 probe rotation: how many probe units were deferred to the
         # next round by the wall budget (detail in BENCH_local.json)
         "probes_deferred": len(
@@ -624,11 +627,77 @@ CALIBRATION_REF_R7 = {
 }
 
 
+def _matmul_self_probe(trials: int = 3) -> float:
+    """Median wall time of a fixed 2000x2000 float64 matmul — a pure-CPU
+    workload entirely outside the JVM, so a stalled reading here means
+    host-side throttling, not Spark. Round 12 saw exactly this: one
+    trial at 9.0 s vs 0.9-1.05 s on adjacent trials during a measured
+    steal window (SCALE_r12.md §3). The probe rides along with each
+    calibration child so a poisoned drift_ratio can be arbitrated from
+    the committed payload instead of costing a round of re-analysis."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    a = rng.random((2000, 2000))
+    b = rng.random((2000, 2000))
+    a @ b  # warm the BLAS threadpool outside the timed trials
+    samples = []
+    for _ in range(trials):
+        t0 = time.monotonic()
+        a @ b
+        samples.append(time.monotonic() - t0)
+    return round(statistics.median(samples), 3)
+
+
+# Pre/post calibration readings that disagree by more than this are a
+# throttle signature (one child caught a host stall); the payload is
+# flagged calibration_suspect and the min-drift reading is used.
+CAL_SUSPECT_RATIO = 1.25
+
+
+def merge_calibration(pre: dict, post: dict) -> dict:
+    """Fold the pre-suite and post-suite calibration readings into one
+    block (round 13, VERDICT r12 #1/Next #1). The r12 payload's
+    normalization was unusable because its single calibration child ran
+    inside a host-throttle event (cal_drift 1.366 against a suite that
+    itself ran clean). Two independent anchors bound that failure mode:
+    a one-child stall inflates only one reading, so drift_ratio takes
+    the MIN of the two (the quieter machine state — drift can only be
+    overestimated by a stall, never underestimated), and a >25%
+    disagreement flags the payload calibration_suspect with both
+    readings and their matmul self-probes committed for arbitration."""
+    merged: dict = {"pre": pre, "post": post}
+    drifts = {
+        k: r["drift_ratio"]
+        for k, r in (("pre", pre), ("post", post))
+        if r.get("drift_ratio")
+    }
+    if not drifts:
+        merged["drift_ratio"] = None
+        merged["calibration_suspect"] = False
+        return merged
+    chosen = min(drifts, key=lambda k: drifts[k])
+    merged["drift_ratio"] = drifts[chosen]
+    merged["chosen"] = chosen
+    if len(drifts) == 2:
+        hi, lo = max(drifts.values()), min(drifts.values())
+        merged["calibration_suspect"] = hi / lo > CAL_SUSPECT_RATIO
+        merged["pre_post_ratio"] = round(hi / lo, 3)
+    else:
+        # one reading missing its ratio (non-sf0.1 dir) — can't compare
+        merged["calibration_suspect"] = False
+    return merged
+
+
 def child_calibration(sf_dir: str, runs: int, out_path: str) -> None:
-    """Measure the three calibration anchors on a fresh JVM before any
-    other child touches the machine. drift_ratio = median over anchors
-    of (today / r7 reference); a payload's raw suite total divided by
-    drift_ratio is the drift-normalized cross-round comparable.
+    """Measure the three calibration anchors on a fresh JVM. Runs TWICE
+    per bench invocation (round 13): once before the suite and once
+    after the cache probes; the parent merges via merge_calibration
+    (min drift wins, >25% disagreement flags calibration_suspect).
+    drift_ratio = median over anchors of (today / r7 reference); a
+    payload's raw suite total divided by drift_ratio is the
+    drift-normalized cross-round comparable. Each reading carries a
+    matmul self-probe (pure CPU, no JVM) to arbitrate throttle windows.
 
     The r7 reference medians are sf0.1 numbers from one specific
     machine, so the ratio is only meaningful at sf0.1 (ADVICE r8): at
@@ -642,6 +711,7 @@ def child_calibration(sf_dir: str, runs: int, out_path: str) -> None:
         "queries": {},
         "reference_r7": CALIBRATION_REF_R7,
         "sf_dir": sf_dir,
+        "matmul_sec": _matmul_self_probe(),
     }
     for name in CALIBRATION_QUERIES:
         settle(spark)
@@ -824,13 +894,20 @@ def main() -> None:
     config: dict = {}
 
     # calibration anchors first of all: the drift read needs the
-    # quietest machine state of the whole run (VERDICT r7 item 6)
+    # quietest machine state of the whole run (VERDICT r7 item 6).
+    # A SECOND reading runs after the cache probes (round 13, VERDICT
+    # r12 #1): one child can land inside a host-throttle event and
+    # poison the drift (r12: cal_drift 1.366 against a clean suite);
+    # two independent readings + min-drift + a suspect flag make the
+    # normalized number trustworthy again.
     calibration: dict = {}
-    if os.environ.get("SPARK_GRAFT_CALIBRATION", "1") != "0":
-        cal_out = os.path.join(tmpdir, "calibration.json")
+    cal_enabled = os.environ.get("SPARK_GRAFT_CALIBRATION", "1") != "0"
+    cal_pre: dict = {}
+    if cal_enabled:
+        cal_out = os.path.join(tmpdir, "calibration_pre.json")
         _run_child(["--calibration", cal_out])
         with open(cal_out) as fh:
-            calibration = json.load(fh)
+            cal_pre = json.load(fh)
 
     # THE HEADLINE DELIVERABLES NEXT (round 12 — VERDICT r11 #1): the
     # 16 suite slices and the cache probes always land; the probe tier
@@ -856,6 +933,15 @@ def main() -> None:
     _run_child(["--cache-reuse", reuse_out])
     with open(reuse_out) as fh:
         cache_reuse = json.load(fh)
+
+    # post-suite calibration reading (round 13) — still ahead of the
+    # probe tier so both readings land even if the budget cuts probes
+    if cal_enabled:
+        cal_out2 = os.path.join(tmpdir, "calibration_post.json")
+        _run_child(["--calibration", cal_out2])
+        with open(cal_out2) as fh:
+            cal_post = json.load(fh)
+        calibration = merge_calibration(cal_pre, cal_post)
 
     # --- probe tier, stalest-first under the remaining wall budget ---
     probe_state = load_probe_state()

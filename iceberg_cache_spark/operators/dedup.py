@@ -532,6 +532,14 @@ def ngram_jaccard_pairs_ppjoin(
 # Duplicate clusters: connected components over a similarity pair graph
 # ---------------------------------------------------------------------------
 
+# Diagnostic: iterations the most recent connected_components() call
+# took to converge (min-label floods one hop per round, so this reads
+# the pair graph's effective diameter). Written by every call; scale
+# probes read it to attribute superlinear wall growth to round count
+# vs per-round cost (VERDICT r12 "What's wrong" #3 — q116's decade
+# ratio).
+LAST_CC_ITERATIONS: int = 0
+
 
 def connected_components(
     pairs: DataFrame,
@@ -577,6 +585,7 @@ def connected_components(
     """
     if on_nonconverged not in ("raise", "flag"):
         raise ValueError(f"on_nonconverged must be 'raise' or 'flag', got {on_nonconverged!r}")
+    global LAST_CC_ITERATIONS
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(
@@ -590,7 +599,8 @@ def connected_components(
         .withColumn("cid", F.col("id"))
     )
     converged = False
-    for _ in range(max_iter):
+    for _it in range(max_iter):
+        LAST_CC_ITERATIONS = _it + 1
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "cid"
         )

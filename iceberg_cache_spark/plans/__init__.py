@@ -34,9 +34,32 @@ every round (tools/verify_contract.py → CORRECTNESS_local_r{N}.json,
 committed), and `tests/test_correctness.py` runs the same oracle gate
 under pytest — a regression in any previously-certified query fails CI
 locally regardless of which 50 the driver happens to re-check.
+
+Side-effect contract (round 13, VERDICT r12 "What's wrong" #4): for
+the four decontamination queries listed in ``EAGER_QUERIES``,
+``QUERIES[name](spark, sf)`` is EAGER — constructing the DataFrame
+runs one Spark count job at plan-build time, because the shared
+benchmark-span side (`plans/datapipe._guarded_bench_spans`) fills and
+counts a persisted cache block once per session to pick the
+broadcast-vs-shuffle probe strategy. Every other entry is a pure plan
+builder (no jobs until an action). Tools that construct plans
+speculatively (explain-only tooling, dry-run schedulers) should expect
+those four to touch the cluster.
 """
 
 from iceberg_cache_spark.plans.registry import ORACLE, QUERIES, declared
+
+# Queries whose BUILDER runs a count job (see module docstring's
+# side-effect contract). Kept in lockstep with the
+# _guarded_bench_spans call sites by tests/test_round13_fixes.py.
+EAGER_QUERIES = frozenset(
+    {
+        "q180_benchmark_decontam",
+        "q185_decontam_rewrite",
+        "q186_decontam_accounting",
+        "q188_decontam_bench_report",
+    }
+)
 
 # populate the registry
 from iceberg_cache_spark.plans import relational  # noqa: E402,F401
@@ -192,17 +215,16 @@ HEAD_R9 = (
     "q172_rolling_window_auto",
 )
 
-# Round 12: the r11 driver left ZERO reds, so nothing re-leads a fix.
-# The decontamination triad leads instead because its SEMANTICS changed
-# this round (ADVICE r11 #3: NULL-doc_id docs now pass through
-# unflagged across find/account/apply, oracles updated to match) — a
-# query whose contract changed needs a fresh driver row ahead of the
-# stale-evidence rotation even though its r11 row was green.
-HEAD_CURRENT: tuple[str, ...] = (
-    "q180_benchmark_decontam",
-    "q186_decontam_accounting",
-    "q185_decontam_rewrite",
-)
+# Round 13: the r12 driver left ZERO reds. q190 leads because its
+# EXPRESSION changed this round (ADVICE r12: the e6 fixed-point
+# products now go through DECIMAL(38,0)/HUGEINT 128-bit intermediates
+# so they can't wrap at the 100 TB design point) — values are
+# identical at gate scale, but a changed plan warrants a fresh driver
+# row ahead of the stale-evidence rotation, same precedent as the r12
+# decontam-triad head. The new q191 lands in tier 1 (no driver row
+# yet) automatically; the 28-name r9-stale band fills the rest of the
+# window via tier 2 (VERDICT r12 Next #3).
+HEAD_CURRENT: tuple[str, ...] = ("q190_source_mixture_plan",)
 
 
 def _priority(name: str) -> tuple[int, int, int]:
@@ -416,6 +438,35 @@ DRIVER_VERIFIED_R11 = frozenset(
 )
 
 
+# Names the round-12 driver hash-verified green (CORRECTNESS_r12.json:
+# all 50 sampled rows — first greens for q188–q190, the decontam triad
+# re-led after its r12 NULL-contract change, and the stalest r9/r10
+# bands re-certified).
+DRIVER_VERIFIED_R12 = frozenset(
+    {
+        "q01_projection", "q02_filter", "q03_between_like", "q04_case_when",
+        "q05_cast_coalesce", "q06_distinct", "q103_more_strings",
+        "q106_keep_latest", "q107_stratified_sample", "q108_train_split",
+        "q109_contamination_check", "q10_inner_join",
+        "q110_repetition_ratio", "q111_length_histogram",
+        "q112_shuffle_order", "q11_left_join", "q120_tpch_q7",
+        "q121_tpch_q8", "q122_tpch_q10", "q123_late_shipments",
+        "q124_tpch_q14", "q152_sessionization", "q154_normalized_dedup",
+        "q155_tfidf_top_terms", "q156_session_funnel",
+        "q169_range_frame_probe", "q171_epoch_us_probe",
+        "q180_benchmark_decontam", "q185_decontam_rewrite",
+        "q186_decontam_accounting", "q188_decontam_bench_report",
+        "q189_shard_manifest", "q190_source_mixture_plan",
+        "q35_range_frame", "q36_first_last_nth", "q37_posexplode",
+        "q39_asof_join", "q49_string_position", "q59_ts_arith", "q75_pivot",
+        "q76_values_inline", "q77_except_all", "q86_range_join",
+        "q87_hypertable_rollup", "q88_count_min_sketch",
+        "q89_grouped_zscore", "q95_sentence_udtf", "q97_random_projection",
+        "q98_corr_covar", "q99_bit_aggs",
+    }
+)
+
+
 # name -> the LATEST round whose driver run hash-certified it (the
 # freshness rank the r9 rotation sorts on; later rounds overwrite).
 _FRESHEST_ROUND: dict[str, int] = {}
@@ -431,6 +482,7 @@ for _round, _certified in (
     (9, DRIVER_VERIFIED_R9),
     (10, DRIVER_VERIFIED_R10),
     (11, DRIVER_VERIFIED_R11),
+    (12, DRIVER_VERIFIED_R12),
 ):
     for _n in _certified:
         _FRESHEST_ROUND[_n] = _round
@@ -451,6 +503,7 @@ _reorder()
 __all__ = [
     "QUERIES",
     "ORACLE",
+    "EAGER_QUERIES",
     "declared",
     "DRIVER_VERIFIED_R1",
     "DRIVER_VERIFIED_R2",
@@ -463,6 +516,7 @@ __all__ = [
     "DRIVER_VERIFIED_R9",
     "DRIVER_VERIFIED_R10",
     "DRIVER_VERIFIED_R11",
+    "DRIVER_VERIFIED_R12",
     "HEAD_R6",
     "DEFER_R6",
     "HEAD_R7",

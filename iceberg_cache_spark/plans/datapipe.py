@@ -2335,12 +2335,14 @@ q189.__doc__ = q189.__doc__.replace("{PPS}", str(PACKS_PER_SHARD))
                FROM per_src)
        SELECT source, n_docs, n_tokens,
               CASE WHEN total_tokens = 0 THEN NULL
-                   ELSE CAST(n_tokens * 1000000 // total_tokens AS BIGINT)
+                   ELSE CAST(CAST(n_tokens AS HUGEINT) * 1000000
+                             // total_tokens AS BIGINT)
               END AS token_share_e6,
               CAST(1000000 // n_sources AS BIGINT) AS target_share_e6,
               CASE WHEN n_tokens = 0 THEN NULL
-                   ELSE CAST(total_tokens * 1000000
-                             // (n_sources * n_tokens) AS BIGINT)
+                   ELSE CAST(CAST(total_tokens AS HUGEINT) * 1000000
+                             // (CAST(n_sources AS HUGEINT) * n_tokens)
+                             AS BIGINT)
               END AS sample_rate_e6
        FROM per_src, tot ORDER BY source""",
 )
@@ -2353,6 +2355,11 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
     sampling rate that rebalances the corpus to the target
     (rate > 1e6 means the source upsamples, i.e. epochs > 1). Fixed-
     point e6 integers end-to-end so both engines agree bit-for-bit.
+    The e6 products go through 128-bit intermediates (DECIMAL(38,0)
+    here, HUGEINT in the oracle — round 13, ADVICE r12): n_tokens *
+    1e6 overflows BIGINT once a source holds ~9.2e12 tokens, squarely
+    inside the 100 TB design point; the wide-then-narrow cast keeps
+    the output schema BIGINT while the intermediate can hold ~1e38.
 
     Plan shape at 100 TB: one map-side-combinable hash aggregate per
     source (sources number in the dozens), then the 1-row totals
@@ -2386,7 +2393,10 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
         "n_tokens",
         F.when(F.col("total_tokens") == 0, F.lit(None).cast("bigint"))
         .otherwise(
-            F.expr("CAST(n_tokens * 1000000 DIV total_tokens AS BIGINT)")
+            F.expr(
+                "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV total_tokens AS BIGINT)"
+            )
         )
         .alias("token_share_e6"),
         F.expr("CAST(1000000 DIV n_sources AS BIGINT)").alias(
@@ -2395,9 +2405,146 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("n_tokens") == 0, F.lit(None).cast("bigint"))
         .otherwise(
             F.expr(
-                "CAST(total_tokens * 1000000 DIV (n_sources * n_tokens)"
+                "CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV (CAST(n_sources AS DECIMAL(38,0)) * n_tokens)"
                 " AS BIGINT)"
             )
         )
         .alias("sample_rate_e6"),
     ).orderBy("source")
+
+
+@declared(
+    "q191_source_mixture_apply",
+    f"""WITH toks AS (
+         SELECT source, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+         WHERE doc_id IS NOT NULL),
+       per_src AS (
+         SELECT source,
+                CAST(SUM(COALESCE(len(t), 0)) AS BIGINT) AS n_tokens
+         FROM toks GROUP BY source),
+       tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                      CAST(COUNT(*) AS BIGINT) AS n_sources
+               FROM per_src),
+       rates AS (
+         SELECT source,
+                CASE WHEN n_tokens = 0 THEN 0
+                     ELSE CAST(CAST(total_tokens AS HUGEINT) * 1000000
+                               // (CAST(n_sources AS HUGEINT) * n_tokens)
+                               AS BIGINT)
+                END AS rate_e6
+         FROM per_src, tot),
+       keyed AS (
+         SELECT d.doc_id, d.source, r.rate_e6,
+                ('0x' || substring(md5(d.doc_id::VARCHAR || ':mix'), 1, 15))
+                  ::BIGINT % 1000000 AS u_e6
+         FROM documents d JOIN rates r ON d.source = r.source
+         WHERE d.doc_id IS NOT NULL),
+       kept AS (
+         SELECT doc_id, source,
+                CAST(rate_e6 // 1000000
+                     + CASE WHEN u_e6 < rate_e6 % 1000000 THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_epochs
+         FROM keyed)
+       SELECT doc_id, source, n_epochs,
+              CAST(UNNEST(generate_series(0, n_epochs - 1)) AS BIGINT)
+                AS epoch
+       FROM kept WHERE n_epochs >= 1
+       ORDER BY doc_id, epoch""",
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-mixture APPLY (round 13, VERDICT r12 Next #6): q190
+    computes per-source e6 sampling rates; this materializes the
+    rebalanced corpus deterministically, completing the mixture tier's
+    find→apply discipline (same shape as decontam q180→q185 and span
+    q159→q178). Per doc: n_epochs = rate_e6 DIV 1e6 full replicas,
+    plus one more iff the doc's deterministic uniform u_e6 falls under
+    the fractional part (rate_e6 MOD 1e6) — so upsampled sources get
+    epoch-replicated rows with an `epoch` column (the loader's replica
+    index) and downsampled sources keep exactly the rate_e6/1e6
+    fraction in expectation, with NO RNG anywhere: u_e6 is the q160
+    A-ES md5-prefix idiom salted ':mix' (both engines hash the same
+    string to the same 60-bit integer, MOD 1e6 exact in int64), so the
+    kept set is bit-stable across engines, runs, and cluster sizes.
+
+    NULL contract: NULL-doc_id docs are excluded up front (the q180
+    triad contract — no identity, no mixture row); NULL-source docs
+    count toward q190's totals (GROUP BY keeps the NULL group on both
+    engines) but drop at the equi-join (NULL matches nothing on either
+    engine) — an unattributable doc has no mixture weight to apply.
+    Zero-token sources rate 0 → dropped entirely.
+
+    Plan shape at 100 TB: the rates frame is dozens of rows (one per
+    source) built by one map-side-combinable hash aggregate, then
+    BROADCAST back over the corpus — the scan-side work is one hash +
+    integer compare per doc and an explode bounded by the epoch count
+    (a source never upsamples past total/n_sources epochs). No
+    corpus-sized shuffle anywhere; the presentation sort is the only
+    exchange and a production sink would drop it. 128-bit e6
+    intermediates as in q190 (ADVICE r12)."""
+    d = T(spark, sf, "documents").where(F.col("doc_id").isNotNull())
+    per_src = (
+        d.select(
+            "source",
+            F.coalesce(
+                F.when(
+                    F.col("text").isNotNull(),
+                    F.size(_text_tokens(F.col("text"))).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("toks").cast("bigint").alias("n_tokens"))
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV (CAST(n_sources AS DECIMAL(38,0)) * n_tokens)"
+                " AS BIGINT)"
+            )
+        )
+        .alias("rate_e6"),
+    )
+    u_e6 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(1000000)
+    )
+    kept = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.expr("rate_e6 DIV 1000000")
+                + F.when(u_e6 < F.col("rate_e6") % 1000000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_epochs"),
+        )
+        .where(F.col("n_epochs") >= 1)
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        "n_epochs",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_epochs") - 1)
+        ).alias("epoch"),
+    ).orderBy("doc_id", "epoch")

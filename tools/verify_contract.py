@@ -24,6 +24,10 @@ ROUND = os.environ.get("SPARK_GRAFT_ROUND", "12")
 SF = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
 _SUFFIX = "" if SF.endswith("sf0.01") else "_" + os.path.basename(SF.rstrip("/"))
 OUT = f"/root/repo/CORRECTNESS_local_r{ROUND}{_SUFFIX}.json"
+# The payload's sf field derives from the directory actually verified
+# (round 13, VERDICT r12 "What's wrong" #1: a hardcoded 0.01 made the
+# sf0.1 snapshot self-report the wrong scale).
+SF_VALUE = float(os.path.basename(SF.rstrip("/")).replace("sf", "") or 0.01)
 
 sys.path.insert(0, "/root/repo")
 
@@ -178,7 +182,7 @@ def main() -> int:
 
     with open(OUT, "w") as fh:
         json.dump(
-            {"sf": 0.01, "total": len(qs), "ok": ok, "failed": bad, "queries": results},
+            {"sf": SF_VALUE, "total": len(qs), "ok": ok, "failed": bad, "queries": results},
             fh, indent=1,
         )
     print(f"wrote {OUT}", flush=True)
