@@ -25,6 +25,18 @@ q116 deliberately does NOT share these labels: it recomputes the
 components with the independent min-label algorithm, and its
 hash-equality with q148's oracle is the cross-algorithm correctness
 proof — sharing would prove nothing.
+
+Scale contract for the min-label cross-check (settled round 13,
+VERDICT r12 #3): the r12 single-run 12.8x/decade reading was the
+measured host-throttle window plus a cold first run, not the
+algorithm — the clean-window median-of-3 re-measure reads 5.69x wall
+per 10x docs with the fixpoint converging in exactly 6 iterations at
+BOTH 50k and 500k docs (SCALE_r13.md §1; cc-iteration diagnostic
+``operators.dedup.LAST_CC_ITERATIONS``). Component diameter does not
+grow with corpus size under the fixture's density law, so no round
+cap is imposed; if a future corpus ever drives iterations toward
+``max_iter``, convergence failure is LOUD (raise/flag contract in
+``connected_components``), never a silent wrong answer.
 """
 
 from __future__ import annotations
