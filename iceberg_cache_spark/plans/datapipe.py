@@ -2548,3 +2548,172 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
             F.sequence(F.lit(0).cast("bigint"), F.col("n_epochs") - 1)
         ).alias("epoch"),
     ).orderBy("doc_id", "epoch")
+
+
+# Shared train-fraction for the cluster-coherent split (e6 fixed point:
+# 90% train / 10% test).
+SPLIT_TRAIN_E6 = 900_000
+
+# Oracle tail shared by q192/q193: assignment of EVERY non-NULL-id doc
+# to a cluster (its CC label, or itself for singletons never seen in a
+# dup pair) and the deterministic split decision hashed on the CLUSTER
+# id — so near-dup docs can never straddle the split boundary.
+_SPLIT_CTES = f""",
+       assign AS (
+         SELECT d.doc_id,
+                CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT)
+                  AS cluster_id
+         FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+         WHERE d.doc_id IS NOT NULL),
+       splits AS (
+         SELECT doc_id, cluster_id,
+                CASE WHEN ('0x' || substring(
+                             md5(cluster_id::VARCHAR || ':split'), 1, 15))
+                           ::BIGINT % 1000000 < {SPLIT_TRAIN_E6}
+                     THEN 'train' ELSE 'test' END AS split
+         FROM assign)"""
+
+
+def _cluster_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, cluster_id, split) for every non-NULL-id document: the
+    Spark twin of _SPLIT_CTES over the session-cached star-CC labels
+    (plans/shared.ngram_cc_labels). Split decision = the q160/q191
+    md5-prefix uniform of the CLUSTER id (':split' salt, MOD 1e6 exact
+    int64) against SPLIT_TRAIN_E6."""
+    from iceberg_cache_spark.plans.shared import ngram_cc_labels
+
+    d = T(spark, sf, "documents").where(F.col("doc_id").isNotNull())
+    labels = ngram_cc_labels(spark, sf).select(
+        F.col("id").alias("doc_id"), F.col("cid").alias("_cid")
+    )
+    assign = d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_cid"), F.col("doc_id"))
+        .cast("bigint")
+        .alias("cluster_id"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("cluster_id").cast("string"), F.lit(":split")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(1_000_000)
+    )
+    return assign.select(
+        "doc_id",
+        "cluster_id",
+        F.when(u < SPLIT_TRAIN_E6, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@declared(
+    "q192_cluster_safe_split",
+    _CC_CTE
+    + _SPLIT_CTES
+    + """
+       SELECT doc_id, cluster_id, split FROM splits ORDER BY doc_id""",
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split (round 13): the assignment step
+    every training pipeline runs after dedup. q108's plain hash split
+    is per-document, so two near-duplicate documents can land on
+    opposite sides of the boundary and the held-out set silently
+    overlaps the training set — the same failure mode decontamination
+    (q180) guards against, but self-inflicted. This split hashes the
+    near-dup CLUSTER id instead (star-CC labels of the exact
+    n-gram-Jaccard >= 0.5 graph — the q116/q148 oracle components;
+    singleton docs, never seen in a dup pair, are their own cluster),
+    so an entire cluster moves as one unit: 90% of clusters to train,
+    10% to test, deterministically (md5-prefix uniform, no RNG — the
+    q160/q191 idiom) and engine-exactly. NULL-doc_id docs are excluded
+    (no identity → no membership), the triad contract.
+
+    Plan shape at 100 TB: the labels come from the session's
+    derived-intermediate cache (one star-CC per session, shared with
+    q148/q150/q158); the assignment is ONE left equi-join on doc_id
+    (labels are one row per doc-in-a-dup-pair — typically a few
+    percent of the corpus, so AQE broadcasts them; at worst a
+    co-partitioned shuffle) plus a per-row hash. No new corpus-sized
+    shuffle beyond the presentation sort."""
+    return _cluster_splits(spark, sf).orderBy("doc_id")
+
+
+@declared(
+    "q193_split_leakage_audit",
+    _CC_CTE
+    + _SPLIT_CTES
+    + """,
+       viol AS (
+         SELECT s.split, CAST(COUNT(*) AS BIGINT) AS cross_pairs
+         FROM pairs p
+         JOIN splits s  ON s.doc_id  = p.id_a
+         JOIN splits s2 ON s2.doc_id = p.id_b
+         WHERE s.split <> s2.split GROUP BY s.split)
+       SELECT s.split,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COUNT(DISTINCT s.cluster_id) AS BIGINT) AS n_clusters,
+              CAST(COALESCE(MAX(v.cross_pairs), 0) AS BIGINT)
+                AS cross_split_pairs
+       FROM splits s LEFT JOIN viol v ON v.split = s.split
+       GROUP BY s.split ORDER BY s.split""",
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage AUDIT (round 13): the verification step that makes
+    q192's guarantee a measured fact instead of a code comment — per
+    split, the doc and cluster counts plus the number of duplicate
+    PAIRS whose endpoints landed in different splits. For a
+    cluster-coherent split that count is zero BY CONSTRUCTION, and this
+    query proves it from the raw pair graph (not from the labels the
+    split itself used — auditing the output against the input, the
+    find→apply→audit discipline the decontam and span tiers follow).
+
+    Plan shape at 100 TB: the pair graph comes from its own session
+    cache entry (plans/shared.ngram_pair_graph — built once, shared
+    with the CC label build); the audit joins the (small) pair list to
+    the split assignment twice on doc_id and aggregates to 2 rows.
+    Never a corpus self-join."""
+    from iceberg_cache_spark.plans.shared import ngram_pair_graph
+
+    splits = _cluster_splits(spark, sf)
+    pairs = ngram_pair_graph(spark, sf)
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    viol = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count("*").cast("bigint").alias("cross_pairs"))
+    )
+    return (
+        splits.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .join(F.broadcast(viol), "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce(F.col("cross_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("cross_split_pairs"),
+        )
+        .orderBy("split")
+    )

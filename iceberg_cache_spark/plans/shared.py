@@ -77,14 +77,41 @@ def corpus_cache(spark: SparkSession) -> CacheManager:
     return mgr
 
 
+def ngram_pair_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """``(id_a, id_b)`` exact n-gram-Jaccard >= 0.5 duplicate pairs
+    over ``documents`` — the expensive inverted-index join, cached as
+    its own derived entry (round 13) because it now has two consumer
+    classes: the CC label build below and the q193 split-leakage audit
+    (which needs the raw EDGES, not the labels, to count cross-split
+    pairs). Same parameters, same fingerprint discipline as the
+    labels entry."""
+    from iceberg_cache_spark.operators import dedup as _D
+    from iceberg_cache_spark.sources.testdata import load_table as T
+
+    key = CacheKey.of(
+        f"{sf}/documents",
+        partition_filter={"derived": "jaccard_pairs", "n": 3,
+                          "threshold": "0.5"},
+    )
+
+    def loader() -> DataFrame:
+        return _D.ngram_jaccard_pairs(
+            T(spark, sf, "documents"), n=3, threshold=0.5
+        ).select("id_a", "id_b")
+
+    return corpus_cache(spark).get_or_load(key, loader, materialize=False)
+
+
 def ngram_cc_labels(spark: SparkSession, sf: str) -> DataFrame:
     """``(id, cid)`` star-CC labels of the exact n-gram-Jaccard >= 0.5
     pair graph over ``documents`` — computed once per (session, corpus
     dir) and served from the cache manager afterwards. The key's
     operator fingerprint pins every parameter that changes the result,
-    so a tuning change can never serve stale labels."""
+    so a tuning change can never serve stale labels. The pair graph
+    itself comes from :func:`ngram_pair_graph`'s cache entry (round
+    13), so a session that runs both the CC consumers and the q193
+    edge consumer builds the inverted-index join exactly once."""
     from iceberg_cache_spark.operators import dedup as _D
-    from iceberg_cache_spark.sources.testdata import load_table as T
 
     key = CacheKey.of(
         f"{sf}/documents",
@@ -93,10 +120,7 @@ def ngram_cc_labels(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def loader() -> DataFrame:
-        pairs = _D.ngram_jaccard_pairs(
-            T(spark, sf, "documents"), n=3, threshold=0.5
-        ).select("id_a", "id_b")
-        return _D.connected_components_star(pairs)
+        return _D.connected_components_star(ngram_pair_graph(spark, sf))
 
     # materialize=False: the first consumer's own action fills the
     # persisted blocks (every declared consumer reads all partitions),

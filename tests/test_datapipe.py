@@ -213,7 +213,11 @@ def test_cc_labels_served_from_cache_manager(spark, sf_dir):
     h0, m0 = mgr.stats()["hits"], mgr.stats()["misses"]
 
     first = {(r.id, r.cid) for r in ngram_cc_labels(spark, sf_dir).collect()}
-    assert mgr.stats()["misses"] == m0 + 1
+    # r13: the labels loader routes through the ngram_pair_graph cache
+    # entry (shared with q193's edge consumer), so the first build
+    # registers exactly TWO misses — pairs + labels — and still only
+    # one inverted-index join
+    assert mgr.stats()["misses"] == m0 + 2
 
     # q148 and q158 both ride the cached labels: hits, no second load
     q148 = QUERIES["q148_dedup_clusters_star"](spark, sf_dir)
@@ -221,7 +225,7 @@ def test_cc_labels_served_from_cache_manager(spark, sf_dir):
     assert {(r.doc_id, r.cluster_id) for r in q148.collect()} == first
     n_docs_in_pairs = sum(r.n_docs for r in q158.collect())
     assert n_docs_in_pairs == len(first)
-    assert mgr.stats()["misses"] == m0 + 1, "labels were recomputed"
+    assert mgr.stats()["misses"] == m0 + 2, "labels were recomputed"
     assert mgr.stats()["hits"] >= h0 + 2
 
     # correctness unchanged: cached labels == a fresh uncached compute

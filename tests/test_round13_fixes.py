@@ -307,6 +307,85 @@ def test_verify_contract_payload_literal_gone():
 
 
 # ---------------------------------------------------------------------------
+# 7. q192/q193 cluster-safe split planted semantics
+# ---------------------------------------------------------------------------
+
+BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango")
+
+
+def _write_split_documents(path: str) -> None:
+    """Docs 12/13 are near-duplicates (one token differs -> 3-gram
+    Jaccard ~0.84 >= 0.5, one dup pair, cluster id 12). Chosen so the
+    CLUSTER hash sends both to train (u(12:split)=583708 < 900000)
+    while a naive PER-DOC hash would exile doc 13 to test
+    (u(13:split)=911759) — the exact leakage q192 exists to prevent.
+    Docs 500/501 are train singletons, 508 a test singleton
+    (u=905199... >= 900000), all with disjoint vocabularies."""
+    rows = [
+        (12, BASE),
+        (13, BASE.replace("tango", "uniform")),
+        (500, "one two three four five six seven eight nine ten"),
+        (501, "red orange yellow green blue indigo violet pink brown black"),
+        (508, "cat dog bird fish horse mouse rabbit snake turtle wolf"),
+    ]
+    ids = [r[0] for r in rows]
+    texts = [r[1] for r in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["planted"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(path, "documents.parquet"),
+    )
+
+
+@pytest.fixture(scope="module")
+def split_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("cluster_split")
+    _write_split_documents(str(d))
+    return str(d)
+
+
+def _u_split(x: int) -> int:
+    h = hashlib.md5(f"{x}:split".encode()).hexdigest()[:15]
+    return int(h, 16) % 1_000_000
+
+
+def test_q192_cluster_moves_as_one_unit(spark, split_dir):
+    # the fixture is non-vacuous: a per-doc hash WOULD split the pair
+    assert _u_split(12) < 900_000 <= _u_split(13)
+    got = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in QUERIES["q192_cluster_safe_split"](spark, split_dir).collect()
+    }
+    assert got[12] == (12, "train") and got[13] == (12, "train")
+    assert got[500] == (500, "train") and got[501] == (501, "train")
+    assert got[508] == (508, "test")
+
+
+def test_q192_q193_planted_hash_match_oracle(spark, split_dir):
+    for name in ("q192_cluster_safe_split", "q193_split_leakage_audit"):
+        compare(QUERIES[name](spark, split_dir), ORACLE[name], split_dir)
+
+
+def test_q193_zero_cross_split_pairs(spark, split_dir):
+    rows = {
+        r.split: r
+        for r in QUERIES["q193_split_leakage_audit"](spark, split_dir).collect()
+    }
+    assert rows["train"].cross_split_pairs == 0
+    assert rows["test"].cross_split_pairs == 0
+    assert rows["train"].n_docs == 4 and rows["test"].n_docs == 1
+    assert rows["train"].n_clusters == 3  # {12,13}, {500}, {501}
+
+
+# ---------------------------------------------------------------------------
 # 6. README gate-count lockstep (ADVICE r12)
 # ---------------------------------------------------------------------------
 
