@@ -200,9 +200,6 @@ def compact_line(payload: dict) -> dict:
         "spread_ok": sum(1 for v in spread_ok.values() if v),
         "spread_n": len(spread_ok),
         "cal_drift": (payload.get("calibration") or {}).get("drift_ratio"),
-        "cal_suspect": (payload.get("calibration") or {}).get(
-            "calibration_suspect"
-        ),
         # r12 probe rotation: how many probe units were deferred to the
         # next round by the wall budget (detail in BENCH_local.json)
         "probes_deferred": len(
@@ -211,6 +208,11 @@ def compact_line(payload: dict) -> dict:
         # full detail (names, spreads, probes) is always in
         # BENCH_local.json; no need to spend line chars saying so
     }
+    # calibration-suspect flag only when it FIRES (r13): the healthy
+    # case would cost 19 chars on every line — one cheap-tail query's
+    # slot — to say nothing; absence means not suspect
+    if (payload.get("calibration") or {}).get("calibration_suspect"):
+        line["cal_suspect"] = True
     # costliest-first so any truncation drops only the cheap tail;
     # re-sort included keys by name for a stable, readable line.
     # Sub-second entries carry ONE decimal (their full precision lives

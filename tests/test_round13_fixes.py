@@ -98,6 +98,23 @@ def test_merge_calibration_preserves_both_readings():
     assert m["pre"] is pre and m["post"] is post  # arbitration evidence
 
 
+def test_compact_line_emits_cal_suspect_only_when_fired():
+    """The stdout line carries cal_suspect ONLY when the flag fires —
+    the healthy case would spend a cheap-tail query's chars on saying
+    nothing (the r13 first cut did exactly that and pushed omissions
+    past max_omitted on the committed payload)."""
+    base = {
+        "metric": "m", "value": 1.0, "unit": "sec", "queries": {"q01_x": 1.0},
+        "sf": 0.1, "spread_ok": {"q01_x": True},
+    }
+    clean = dict(base, calibration={"drift_ratio": 1.1,
+                                    "calibration_suspect": False})
+    assert "cal_suspect" not in bench.compact_line(clean)
+    fired = dict(base, calibration={"drift_ratio": 1.1,
+                                    "calibration_suspect": True})
+    assert bench.compact_line(fired)["cal_suspect"] is True
+
+
 # ---------------------------------------------------------------------------
 # 2. e6 fixed-point overflow (ADVICE r12)
 # ---------------------------------------------------------------------------
