@@ -81,14 +81,10 @@ def stopword_ratio(col: Column, stopwords: tuple[str, ...] = _LANG_MARKERS["en"]
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
 
 
-def quality_score(col: Column) -> Column:
-    """Composite document-quality score in [0, 1]: rewards moderate
-    length, low punctuation density, and natural stopword frequency.
-
-    The weighting runs in exact DECIMAL arithmetic: the components are
-    often exact decimals, so a double pipeline lands on round-half ties
-    (e.g. 0.54175) where engines disagree; decimal ROUND is
-    half-away-from-zero in both Spark and DuckDB."""
+def _quality_decimal(col: Column) -> Column:
+    """The quality score as the exact rounded DECIMAL, before any
+    output-type cast — shared by quality_score (double presentation)
+    and quality_score_e4 (integer fixed point)."""
     one = F.expr("CAST(1.0 AS DECIMAL(2,1))")
     len_score = F.least(
         F.length(col).cast("decimal(12,3)") * F.expr("CAST(0.002 AS DECIMAL(4,3))"),
@@ -99,9 +95,30 @@ def quality_score(col: Column) -> Column:
     punct_score = one - F.least(pr * F.lit(4), one)
     stop_score = F.least(sr * F.lit(5), one)
     w4, w3 = F.expr("CAST(0.4 AS DECIMAL(2,1))"), F.expr("CAST(0.3 AS DECIMAL(2,1))")
-    return F.round(
-        w4 * len_score + w3 * punct_score + w3 * stop_score, 4
-    ).cast("double")
+    return F.round(w4 * len_score + w3 * punct_score + w3 * stop_score, 4)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality score in [0, 1]: rewards moderate
+    length, low punctuation density, and natural stopword frequency.
+
+    The weighting runs in exact DECIMAL arithmetic: the components are
+    often exact decimals, so a double pipeline lands on round-half ties
+    (e.g. 0.54175) where engines disagree; decimal ROUND is
+    half-away-from-zero in both Spark and DuckDB."""
+    return _quality_decimal(col).cast("double")
+
+
+def quality_score_e4(col: Column) -> Column:
+    """quality_score in e4 fixed point (score × 10000 as BIGINT).
+
+    For anything that AGGREGATES quality (token-weighted shard means,
+    percentile cuts over billions of docs) the double form is a trap:
+    double summation is association-order-dependent, so a 1000-executor
+    plan and a DuckDB oracle drift in the last bits. The rounded
+    DECIMAL is exact at 4 places, so ×10000 is an exact integer and
+    every downstream SUM/DIV stays engine-exact."""
+    return (_quality_decimal(col) * F.lit(10000)).cast("bigint")
 
 
 def lang_scores(col: Column) -> dict[str, Column]:

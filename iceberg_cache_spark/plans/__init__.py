@@ -36,7 +36,7 @@ under pytest — a regression in any previously-certified query fails CI
 locally regardless of which 50 the driver happens to re-check.
 
 Side-effect contract (round 13, VERDICT r12 "What's wrong" #4): for
-the four decontamination queries listed in ``EAGER_QUERIES``,
+the decontamination queries listed in ``EAGER_QUERIES``,
 ``QUERIES[name](spark, sf)`` is EAGER — constructing the DataFrame
 runs one Spark count job at plan-build time, because the shared
 benchmark-span side (`plans/datapipe._guarded_bench_spans`) fills and
@@ -58,6 +58,7 @@ EAGER_QUERIES = frozenset(
         "q185_decontam_rewrite",
         "q186_decontam_accounting",
         "q188_decontam_bench_report",
+        "q195_decontam_source_report",
     }
 )
 

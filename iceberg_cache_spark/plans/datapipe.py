@@ -2414,6 +2414,90 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _mixture_front(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared q191/q194 front: (docs, rates, tot).
+
+    docs  — (doc_id, source, n_toks) for every non-NULL-id document;
+    rates — (source, rate_e6), the q190 e6 sampling rate per source
+            (DECIMAL(38,0) intermediates, ADVICE r12);
+    tot   — 1-row (total_tokens, n_sources) over the FULL per-source
+            frame (NULL-source and zero-token groups included — the
+            same denominator q190's published plan uses).
+
+    All three are plan fragments, not materializations: per_src/tot are
+    map-side-combinable hash aggregates over dozens of groups, and the
+    consumers broadcast them back over the corpus scan."""
+    d = T(spark, sf, "documents").where(F.col("doc_id").isNotNull())
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.when(
+                F.col("text").isNotNull(),
+                F.size(_text_tokens(F.col("text"))).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("n_toks"),
+    )
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV (CAST(n_sources AS DECIMAL(38,0)) * n_tokens)"
+                " AS BIGINT)"
+            )
+        )
+        .alias("rate_e6"),
+    )
+    return docs, rates, tot
+
+
+def _mixture_doc_epochs(docs: DataFrame, rates: DataFrame) -> DataFrame:
+    """(doc_id, source, n_toks, n_epochs) for every document the
+    mixture APPLY keeps (n_epochs >= 1): rate_e6 DIV 1e6 full replicas
+    plus one more iff the doc's deterministic md5-prefix uniform
+    (':mix' salt — the q160 A-ES idiom) falls under the fractional
+    part. Broadcast rates over the corpus scan; no corpus shuffle."""
+    u_e6 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(1000000)
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            (
+                F.expr("rate_e6 DIV 1000000")
+                + F.when(u_e6 < F.col("rate_e6") % 1000000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_epochs"),
+        )
+        .where(F.col("n_epochs") >= 1)
+    )
+
+
 @declared(
     "q191_source_mixture_apply",
     f"""WITH toks AS (
@@ -2482,64 +2566,8 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
     corpus-sized shuffle anywhere; the presentation sort is the only
     exchange and a production sink would drop it. 128-bit e6
     intermediates as in q190 (ADVICE r12)."""
-    d = T(spark, sf, "documents").where(F.col("doc_id").isNotNull())
-    per_src = (
-        d.select(
-            "source",
-            F.coalesce(
-                F.when(
-                    F.col("text").isNotNull(),
-                    F.size(_text_tokens(F.col("text"))).cast("bigint"),
-                ),
-                F.lit(0).cast("bigint"),
-            ).alias("toks"),
-        )
-        .groupBy("source")
-        .agg(F.sum("toks").cast("bigint").alias("n_tokens"))
-    )
-    tot = per_src.agg(
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.count("*").cast("bigint").alias("n_sources"),
-    )
-    rates = per_src.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
-        .otherwise(
-            F.expr(
-                "CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000"
-                " DIV (CAST(n_sources AS DECIMAL(38,0)) * n_tokens)"
-                " AS BIGINT)"
-            )
-        )
-        .alias("rate_e6"),
-    )
-    u_e6 = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % F.lit(1000000)
-    )
-    kept = (
-        d.select("doc_id", "source")
-        .join(F.broadcast(rates), "source")
-        .select(
-            "doc_id",
-            "source",
-            (
-                F.expr("rate_e6 DIV 1000000")
-                + F.when(u_e6 < F.col("rate_e6") % 1000000, 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_epochs"),
-        )
-        .where(F.col("n_epochs") >= 1)
-    )
+    docs, rates, _tot = _mixture_front(spark, sf)
+    kept = _mixture_doc_epochs(docs, rates)
     return kept.select(
         "doc_id",
         "source",
@@ -2717,3 +2745,484 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@declared(
+    "q194_mixture_conformance_audit",
+    f"""WITH toks AS (
+         SELECT doc_id, source, {_DUCK_TOKS.format(c='text')} AS t
+         FROM documents WHERE doc_id IS NOT NULL),
+       docs AS (SELECT doc_id, source,
+                       CAST(COALESCE(len(t), 0) AS BIGINT) AS n_toks
+                FROM toks),
+       per_src AS (
+         SELECT source, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         FROM docs GROUP BY source),
+       tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                      CAST(COUNT(*) AS BIGINT) AS n_sources
+               FROM per_src),
+       rates AS (
+         SELECT source,
+                CASE WHEN n_tokens = 0 THEN 0
+                     ELSE CAST(CAST(total_tokens AS HUGEINT) * 1000000
+                               // (CAST(n_sources AS HUGEINT) * n_tokens)
+                               AS BIGINT)
+                END AS rate_e6
+         FROM per_src, tot),
+       keyed AS (
+         SELECT d.doc_id, d.source, d.n_toks, r.rate_e6,
+                ('0x' || substring(md5(d.doc_id::VARCHAR || ':mix'), 1, 15))
+                  ::BIGINT % 1000000 AS u_e6
+         FROM docs d JOIN rates r ON d.source = r.source),
+       kept AS (
+         SELECT doc_id, source, n_toks,
+                CAST(rate_e6 // 1000000
+                     + CASE WHEN u_e6 < rate_e6 % 1000000 THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_epochs
+         FROM keyed),
+       k AS (SELECT * FROM kept WHERE n_epochs >= 1),
+       agg AS (
+         SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS realized_docs,
+                CAST(SUM(n_epochs) AS BIGINT) AS realized_rows,
+                CAST(SUM(CAST(n_epochs AS HUGEINT) * n_toks) AS BIGINT)
+                  AS realized_tokens
+         FROM k GROUP BY source),
+       ragg AS (SELECT CAST(SUM(realized_tokens) AS BIGINT)
+                  AS total_realized FROM agg)
+       SELECT a.source, a.realized_docs, a.realized_rows,
+              a.realized_tokens,
+              CASE WHEN total_realized = 0 THEN NULL
+                   ELSE CAST(CAST(a.realized_tokens AS HUGEINT) * 1000000
+                             // total_realized AS BIGINT)
+              END AS realized_share_e6,
+              CAST(1000000 // n_sources AS BIGINT) AS target_share_e6,
+              CASE WHEN total_realized = 0 THEN NULL
+                   ELSE CAST(CAST(a.realized_tokens AS HUGEINT) * 1000000
+                             // total_realized
+                             - 1000000 // n_sources AS BIGINT)
+              END AS dev_e6
+       FROM agg a, ragg, tot ORDER BY a.source""",
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture conformance AUDIT (round 13): the verification step that
+    closes the mixture tier's plan (q190) → apply (q191) → AUDIT
+    discipline, mirroring q193's role for the split tier — recompute,
+    from the APPLIED corpus itself, what mixture actually materialized
+    and hold it against the plan's target. Per source kept in the
+    rebalanced corpus: distinct docs kept, total epoch-replicated rows,
+    realized tokens (epoch-weighted), the realized e6 token share of
+    the rebalanced stream, the plan's uniform target share, and the
+    signed deviation. The deviation is the OBSERVED residual of q191's
+    fractional-epoch sampling (each doc rounds its fractional epoch up
+    or down by its hash), so an eval of the sampler's bias reads
+    straight off this table — find→apply→audit, measured not asserted.
+
+    NULL contract: inherits q191's exactly — NULL-doc_id docs excluded
+    up front, NULL-source docs never survive the rates equi-join, so
+    the audit sees precisely the rows the apply emitted. target share
+    still divides by the PLAN's n_sources (NULL/zero-token groups
+    included), because that is the target q190 published.
+
+    Plan shape at 100 TB: the kept frame is the q191 broadcast-rates
+    scan (no corpus shuffle); the audit adds one map-side-combinable
+    hash aggregate to dozens of source groups plus two broadcast 1-row
+    totals. 128-bit intermediates throughout (DECIMAL(38,0)/HUGEINT —
+    the ADVICE r12 overflow-proofing): epoch-weighted token sums cross
+    9.2e18 well before 100 TB does."""
+    docs, rates, tot = _mixture_front(spark, sf)
+    kept = _mixture_doc_epochs(docs, rates)
+    agg = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("realized_docs"),
+        F.sum("n_epochs").cast("bigint").alias("realized_rows"),
+        F.sum(F.expr("CAST(n_epochs AS DECIMAL(38,0)) * n_toks"))
+        .cast("bigint")
+        .alias("realized_tokens"),
+    )
+    ragg = agg.agg(
+        F.sum("realized_tokens").cast("bigint").alias("total_realized")
+    )
+    share = (
+        "CAST(CAST(realized_tokens AS DECIMAL(38,0)) * 1000000"
+        " DIV total_realized AS BIGINT)"
+    )
+    return (
+        agg.crossJoin(F.broadcast(ragg))
+        .crossJoin(F.broadcast(tot.select("n_sources")))
+        .select(
+            "source",
+            "realized_docs",
+            "realized_rows",
+            "realized_tokens",
+            F.when(F.col("total_realized") == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.expr(share))
+            .alias("realized_share_e6"),
+            F.expr("CAST(1000000 DIV n_sources AS BIGINT)").alias(
+                "target_share_e6"
+            ),
+            F.when(F.col("total_realized") == 0, F.lit(None).cast("bigint"))
+            .otherwise(
+                F.expr(f"{share} - CAST(1000000 DIV n_sources AS BIGINT)")
+            )
+            .alias("dev_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+@declared(
+    "q195_decontam_source_report",
+    f"""WITH toks AS (
+         SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents),
+       base AS (SELECT doc_id, t, COALESCE(len(t), 0) AS n_tokens FROM toks),
+       spans AS (
+         SELECT doc_id,
+                array_to_string(t[CAST(i+1 AS BIGINT):CAST(i+{SPAN_K} AS BIGINT)],
+                                ' ') AS span
+         FROM base,
+              UNNEST(range(greatest(n_tokens - {SPAN_K - 1}, 1))) AS u(i)),
+       f AS (SELECT DISTINCT doc_id, span FROM spans WHERE span <> ''),
+       bench0 AS (SELECT doc_id AS bdoc, span FROM f
+                  WHERE doc_id % {DECON_MOD} = 0),
+       bspans AS (SELECT span FROM bench0 GROUP BY span
+                  HAVING COUNT(DISTINCT bdoc) <= {DECON_SPAN_MAX_BDF}),
+       corp AS (SELECT doc_id, span FROM spans
+                WHERE span <> '' AND doc_id IS NOT NULL
+                  AND doc_id % {DECON_MOD} <> 0),
+       hit AS (SELECT c.doc_id, c.span FROM corp c
+               JOIN bspans b ON c.span = b.span),
+       src AS (SELECT doc_id, source FROM documents
+               WHERE doc_id IS NOT NULL AND doc_id % {DECON_MOD} <> 0
+                 AND source IS NOT NULL),
+       fl AS (SELECT s.source,
+                     CAST(COUNT(DISTINCT h.doc_id) AS BIGINT)
+                       AS n_flagged_docs,
+                     CAST(COUNT(DISTINCT h.span) AS BIGINT)
+                       AS n_leaked_spans,
+                     CAST(COUNT(*) AS BIGINT) AS n_occurrences
+              FROM hit h JOIN src s ON h.doc_id = s.doc_id
+              GROUP BY s.source),
+       tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM src GROUP BY source)
+       SELECT t.source, t.n_docs,
+              CAST(COALESCE(f2.n_flagged_docs, 0) AS BIGINT)
+                AS n_flagged_docs,
+              CAST(COALESCE(f2.n_leaked_spans, 0) AS BIGINT)
+                AS n_leaked_spans,
+              CAST(COALESCE(f2.n_occurrences, 0) AS BIGINT)
+                AS n_occurrences,
+              CAST(CAST(COALESCE(f2.n_flagged_docs, 0) AS HUGEINT)
+                   * 1000000 // t.n_docs AS BIGINT) AS flagged_ppm
+       FROM tot t LEFT JOIN fl f2 ON f2.source = t.source
+       ORDER BY t.source""",
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-SOURCE contamination roll-up (round 13): the ops view of the
+    decontamination tier — q180 tells the training side which DOCS to
+    clean and q188 tells the eval owner which BENCH ITEMS are burned;
+    this tells the INGEST owner which FEED is leaking: per source, the
+    corpus docs carrying any benchmark span (count + parts-per-million
+    of the source's corpus-side docs), the distinct leaked spans, and
+    total span occurrences. A real pipeline alerts on flagged_ppm per
+    feed — a crawler that starts mirroring an eval-hosting site shows
+    up as one source's ppm stepping, which doc- and bench-keyed views
+    bury.
+
+    Contracts: the corpus side keeps duplicate span occurrences
+    (q188's position-true counting); NULL-doc_id docs pass through
+    unflagged and NULL-SOURCE docs are excluded from this report
+    entirely — an unattributable doc has no feed to attribute leakage
+    to (the q191 equi-join contract; a LEFT JOIN would silently drop
+    the NULL group's flags on both engines anyway, so exclusion is the
+    honest spelling of the same fact).
+
+    Plan shape at 100 TB: the bench side is the SAME per-session
+    _guarded_bench_spans cache entry q185/q186 read (span shape — this
+    builder is therefore EAGER, see EAGER_QUERIES); the corpus span
+    stream is probed map-side; the (sparse) hit stream joins doc->
+    source as the SMALL side of an equi-join against the corpus doc
+    list (AQE broadcasts it), then two hash aggregates to dozens of
+    source groups. No corpus-sized shuffle anywhere."""
+    base = _span_base(T(spark, sf, "documents"))
+    all_spans = _exploded_spans(base).select("doc_id", "span")
+    corp = all_spans.filter(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") % DECON_MOD != 0)
+    )
+    hit = corp.join(_guarded_bench_spans(spark, sf, with_bdoc=False), "span")
+    src = (
+        T(spark, sf, "documents")
+        .where(
+            F.col("doc_id").isNotNull()
+            & (F.col("doc_id") % DECON_MOD != 0)
+            & F.col("source").isNotNull()
+        )
+        .select("doc_id", "source")
+    )
+    fl = (
+        hit.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_flagged_docs"),
+            F.count_distinct("span").cast("bigint").alias("n_leaked_spans"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+    )
+    return (
+        src.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(F.broadcast(fl), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_flagged_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_flagged_docs"),
+            F.coalesce(F.col("n_leaked_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_leaked_spans"),
+            F.coalesce(F.col("n_occurrences"), F.lit(0))
+            .cast("bigint")
+            .alias("n_occurrences"),
+            F.expr(
+                "CAST(CAST(COALESCE(n_flagged_docs, 0) AS DECIMAL(38,0))"
+                " * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("flagged_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# q68's PII patterns, shared verbatim: Java regex and RE2 agree on
+# both (no \s, no unicode classes). Counting runs on the RAW text (the
+# scrub's sequencing — emails masked before digit runs — matters for
+# rewriting, not for incidence: a >=6-digit run inside an email local
+# part counts under both patterns in both engines identically).
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+PII_NUM_RE = r"\d{6,}"
+
+
+@declared(
+    "q196_pii_incidence",
+    rf"""WITH m AS (
+         SELECT source,
+                COALESCE(len(regexp_extract_all(text,
+                  '{PII_EMAIL_RE}')), 0) AS n_email,
+                COALESCE(len(regexp_extract_all(text,
+                  '\d{{6,}}')), 0) AS n_num
+         FROM documents)
+       SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_with_email,
+              CAST(SUM(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_with_number,
+              CAST(SUM(n_email) AS BIGINT) AS email_matches,
+              CAST(SUM(n_num) AS BIGINT) AS number_matches,
+              CAST(CAST(SUM(CASE WHEN n_email > 0 OR n_num > 0
+                                 THEN 1 ELSE 0 END) AS HUGEINT)
+                   * 1000000 // COUNT(*) AS BIGINT) AS pii_docs_ppm
+       FROM m GROUP BY source ORDER BY source""",
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source PII incidence report (round 13): the measurement side
+    of q68's scrub — per source: docs scanned, docs containing an
+    email / a long digit run, total matches of each, and the ppm of
+    docs carrying ANY PII. A compliance pipeline publishes exactly
+    this table per ingest feed (and a post-scrub re-run of it proves
+    the scrub worked: every count zero); q68 rewrites, this measures —
+    the same find→apply→audit split as the decontam and mixture tiers.
+
+    NULL contract: NULL text counts as zero matches (COALESCE on both
+    engines); NULL-source docs keep their own group (single-table
+    GROUP BY — no join for a NULL key to fall out of, and both engines
+    retain the NULL group identically). doc identity is irrelevant to
+    incidence, so NULL-doc_id rows are counted too.
+
+    Plan shape at 100 TB: scan-local regexp counting (JVM-side
+    regexp_count, codegen'd — no UDF) into one map-side-combinable
+    hash aggregate over dozens of source groups. The cheapest shape a
+    corpus-wide scan can have; e6 ratio through DECIMAL(38,0)/HUGEINT
+    as everywhere (ADVICE r12)."""
+    d = T(spark, sf, "documents")
+    m = d.select(
+        "source",
+        F.coalesce(
+            F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_email"),
+        F.coalesce(
+            F.regexp_count(F.col("text"), F.lit(PII_NUM_RE)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_num"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_email") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_with_email"),
+            F.sum((F.col("n_num") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_with_number"),
+            F.sum("n_email").cast("bigint").alias("email_matches"),
+            F.sum("n_num").cast("bigint").alias("number_matches"),
+            F.sum(
+                ((F.col("n_email") > 0) | (F.col("n_num") > 0)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("pii_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_with_email",
+            "docs_with_number",
+            "email_matches",
+            "number_matches",
+            F.expr(
+                "CAST(CAST(pii_docs AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs AS BIGINT)"
+            ).alias("pii_docs_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+from iceberg_cache_spark.operators import text as _X  # noqa: E402
+from iceberg_cache_spark.plans.extensions import _DUCK_PUNCT  # noqa: E402
+
+
+@declared(
+    "q197_shard_curriculum",
+    f"""WITH base AS (
+         SELECT doc_id, text, {_DUCK_TOKS.format(c='text')} AS t
+         FROM documents WHERE doc_id IS NOT NULL),
+       g AS (SELECT doc_id,
+                    CAST(SUM(COALESCE(len(t), 0)) AS BIGINT) AS n_tokens
+             FROM base GROUP BY doc_id),
+       f AS (SELECT doc_id, n_tokens FROM g WHERE n_tokens > 0),
+       c AS (SELECT doc_id, n_tokens,
+                    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_off
+             FROM f),
+       e AS (SELECT doc_id, n_tokens, start_off, CAST(p AS BIGINT) AS pack_id
+             FROM c,
+                  UNNEST(range(start_off // {PACK_TOKENS},
+                               (start_off + n_tokens - 1) // {PACK_TOKENS}
+                               + 1)) AS u(p)),
+       s AS (SELECT pack_id // {PACKS_PER_SHARD} AS shard_id, doc_id,
+                    LEAST(start_off + n_tokens,
+                          (pack_id + 1) * {PACK_TOKENS})
+                    - GREATEST(start_off, pack_id * {PACK_TOKENS})
+                      AS slice_len
+             FROM e),
+       pq AS (SELECT doc_id, text, t,
+                     length(text) - length(regexp_replace(text,
+                       '{_DUCK_PUNCT}', '', 'g')) AS n_punct
+              FROM base),
+       r AS (SELECT doc_id,
+                CASE WHEN length(text) > 0
+                     THEN n_punct / CAST(length(text) AS DOUBLE)
+                     ELSE 0.0 END AS pr,
+                CASE WHEN len(t) > 0
+                     THEN len(list_filter(t, x -> list_contains(
+                            ['the','and','of','to','is','in','that','it'],
+                            x))) / CAST(len(t) AS DOUBLE)
+                     ELSE 0.0 END AS sr,
+                length(text) AS nc
+             FROM pq),
+       caps AS (SELECT doc_id,
+                CAST(nc AS DECIMAL(12,3)) * CAST(0.002 AS DECIMAL(4,3))
+                  AS lens,
+                CAST(pr AS DECIMAL(18,12)) * 4 AS p4,
+                CAST(sr AS DECIMAL(18,12)) * 5 AS s5
+             FROM r),
+       qual AS (SELECT doc_id, CAST(ROUND(
+                CAST(0.4 AS DECIMAL(2,1)) *
+                  (CASE WHEN lens < 1 THEN lens
+                        ELSE CAST(1.0 AS DECIMAL(12,6)) END)
+              + CAST(0.3 AS DECIMAL(2,1)) *
+                  (CAST(1.0 AS DECIMAL(2,1))
+                   - CASE WHEN p4 < 1 THEN p4
+                          ELSE CAST(1.0 AS DECIMAL(18,12)) END)
+              + CAST(0.3 AS DECIMAL(2,1)) *
+                  (CASE WHEN s5 < 1 THEN s5
+                        ELSE CAST(1.0 AS DECIMAL(18,12)) END),
+                4) * 10000 AS BIGINT) AS q_e4
+             FROM caps),
+       j AS (SELECT s.shard_id, s.doc_id, s.slice_len, q.q_e4
+             FROM s JOIN qual q ON q.doc_id = s.doc_id),
+       agg AS (SELECT CAST(shard_id AS BIGINT) AS shard_id,
+                      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                      CAST(SUM(slice_len) AS BIGINT) AS tokens_filled,
+                      CAST(SUM(CAST(q_e4 AS HUGEINT) * slice_len)
+                           // SUM(slice_len) AS BIGINT) AS mean_quality_e4
+               FROM j GROUP BY shard_id)
+       SELECT shard_id, n_docs, tokens_filled, mean_quality_e4,
+              CAST(ROW_NUMBER() OVER (ORDER BY mean_quality_e4 DESC,
+                                      shard_id) AS BIGINT)
+                AS curriculum_rank
+       FROM agg ORDER BY shard_id""",
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard CURRICULUM ordering (round 13): cross-tier composition of
+    the packing and quality tiers — per training shard (q189's unit of
+    loader work), the token-weighted mean document quality in exact e4
+    fixed point, and the shard's rank in an easiest-first curriculum
+    (highest mean quality = rank 1, shard_id tiebreak). Curriculum
+    schedules (quality- or difficulty-ordered data presentation) are a
+    standard pretraining lever; the scheduler consumes exactly this
+    table — shard -> rank — without touching the corpus again.
+
+    Determinism: the weighted mean is SUM(q_e4 * slice_len) DIV
+    SUM(slice_len) in pure integers (quality_score_e4 — the rounded
+    DECIMAL x10000, exact), because a token-weighted DOUBLE mean over
+    millions of docs per shard is association-order-dependent and
+    would flake the value hash between a 1000-executor sum tree and
+    the oracle's sequential one. 128-bit intermediates for the
+    products (DECIMAL(38,0)/HUGEINT, the ADVICE r12 proofing).
+
+    Plan shape at 100 TB: the manifest side is the shared q184
+    two-level prefix sum + map-side slab explode; the quality side is
+    scan-local DECIMAL arithmetic on documents (no UDF); they meet in
+    ONE equi-join on doc_id (co-partitioned shuffle — both sides hash
+    by doc_id), then a hash aggregate to n_shards rows. The rank
+    window runs over the aggregated shards frame only (thousands of
+    rows at 100 TB — one task, deliberately: ranking is global by
+    definition and the frame is tiny)."""
+    mf = _pack_manifest(spark, sf).select(
+        F.expr(f"CAST(pack_id DIV {PACKS_PER_SHARD} AS BIGINT)").alias(
+            "shard_id"
+        ),
+        "doc_id",
+        "slice_len",
+    )
+    qual = (
+        T(spark, sf, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", _X.quality_score_e4(F.col("text")).alias("q_e4"))
+    )
+    agg = (
+        mf.join(qual, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("slice_len").cast("bigint").alias("tokens_filled"),
+            F.expr(
+                "CAST(SUM(CAST(q_e4 AS DECIMAL(38,0)) * slice_len)"
+                " DIV SUM(slice_len) AS BIGINT)"
+            ).alias("mean_quality_e4"),
+        )
+    )
+    w = W.orderBy(F.col("mean_quality_e4").desc(), "shard_id")
+    return agg.select(
+        "shard_id",
+        "n_docs",
+        "tokens_filled",
+        "mean_quality_e4",
+        F.row_number().over(w).cast("bigint").alias("curriculum_rank"),
+    ).orderBy("shard_id")

@@ -163,7 +163,9 @@ def test_q190_oracle_uses_hugeint_and_plan_uses_decimal():
     assert "HUGEINT" in ORACLE["q191_source_mixture_apply"]
     import iceberg_cache_spark.plans.datapipe as dp
 
-    for fn in (dp.q190, dp.q191):
+    # q191's rate arithmetic lives in the shared _mixture_front since
+    # the q194 audit landed; the pin follows the expression.
+    for fn in (dp.q190, dp._mixture_front):
         src = inspect.getsource(fn)
         assert "DECIMAL(38,0)" in src, f"{fn.__name__} lost the wide cast"
 
