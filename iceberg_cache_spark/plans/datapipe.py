@@ -3043,17 +3043,20 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
     hash aggregate over dozens of source groups. The cheapest shape a
     corpus-wide scan can have; e6 ratio through DECIMAL(38,0)/HUGEINT
     as everywhere (ADVICE r12)."""
-    d = T(spark, sf, "documents")
+    return _pii_report(T(spark, sf, "documents"), F.col("text"))
+
+
+def _pii_report(d: DataFrame, text_col) -> DataFrame:
+    """Shared q196/q199 aggregation: per-source PII incidence of
+    ``text_col`` (raw text for q196, the q68-scrubbed rewrite for the
+    q199 audit). One scan-local regexp-count projection into one
+    map-side-combinable hash aggregate."""
     m = d.select(
         "source",
-        F.coalesce(
-            F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)), F.lit(0)
-        )
+        F.coalesce(F.regexp_count(text_col, F.lit(PII_EMAIL_RE)), F.lit(0))
         .cast("bigint")
         .alias("n_email"),
-        F.coalesce(
-            F.regexp_count(F.col("text"), F.lit(PII_NUM_RE)), F.lit(0)
-        )
+        F.coalesce(F.regexp_count(text_col, F.lit(PII_NUM_RE)), F.lit(0))
         .cast("bigint")
         .alias("n_num"),
     )
@@ -3226,3 +3229,200 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
         "mean_quality_e4",
         F.row_number().over(w).cast("bigint").alias("curriculum_rank"),
     ).orderBy("shard_id")
+
+
+from iceberg_cache_spark.plans.extensions import (  # noqa: E402
+    CC_LABELS_CTE as _PAIR_CTE,
+)
+
+
+@declared(
+    "q198_source_overlap_matrix",
+    _PAIR_CTE
+    + """,
+       src AS (SELECT doc_id, source FROM documents
+               WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+       m AS (SELECT LEAST(sa.source, sb.source) AS source_a,
+                    GREATEST(sa.source, sb.source) AS source_b
+             FROM pairs p
+             JOIN src sa ON sa.doc_id = p.id_a
+             JOIN src sb ON sb.doc_id = p.id_b)
+       SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b""",
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix (round 13): the provenance view
+    of the near-dup pair graph — per unordered source pair (canonical
+    LEAST/GREATEST order so (A,B) and (B,A) collapse), how many exact
+    n-gram-Jaccard >= 0.5 duplicate pairs have one endpoint in each.
+    The diagonal (source_a = source_b) is intra-feed redundancy; the
+    off-diagonal is CROSS-FEED mirroring — the signal a mixture
+    planner (q190) and an ingest owner both need: two crawls of the
+    same site look like two sources until this table shows one
+    re-serving the other's documents.
+
+    Contracts: pair endpoints with a NULL source drop (no feed to
+    attribute — the q195 contract); NULL-doc_id docs never enter the
+    pair graph. LEAST/GREATEST on VARCHAR is portable (the DuckDB
+    decimal-widening trap is decimal-only).
+
+    Plan shape at 100 TB: the pair graph is the session-cached
+    inverted-index join output (plans/shared.ngram_pair_graph —
+    shared with q116/q148/q193; built once per session), typically a
+    few percent of the corpus in rows; it joins doc->source twice on
+    doc_id as the SMALL side (AQE broadcasts it against the corpus
+    doc list) and aggregates to a sources x sources frame — dozens of
+    rows. No new corpus-sized shuffle."""
+    from iceberg_cache_spark.plans.shared import ngram_pair_graph
+
+    src = (
+        T(spark, sf, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source")
+    )
+    pairs = ngram_pair_graph(spark, sf)
+    m = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@declared(
+    "q199_pii_scrub_audit",
+    rf"""WITH scrubbed AS (
+         SELECT source,
+                regexp_replace(regexp_replace(text,
+                  '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '\d{{6,}}', '<NUM>', 'g') AS text
+         FROM documents),
+       m AS (
+         SELECT source,
+                COALESCE(len(regexp_extract_all(text,
+                  '{PII_EMAIL_RE}')), 0) AS n_email,
+                COALESCE(len(regexp_extract_all(text,
+                  '\d{{6,}}')), 0) AS n_num
+         FROM scrubbed)
+       SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_with_email,
+              CAST(SUM(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_with_number,
+              CAST(SUM(n_email) AS BIGINT) AS email_matches,
+              CAST(SUM(n_num) AS BIGINT) AS number_matches,
+              CAST(CAST(SUM(CASE WHEN n_email > 0 OR n_num > 0
+                                 THEN 1 ELSE 0 END) AS HUGEINT)
+                   * 1000000 // COUNT(*) AS BIGINT) AS pii_docs_ppm
+       FROM m GROUP BY source ORDER BY source""",
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-scrub PII AUDIT (round 13): q196's incidence report run
+    over q68's SCRUBBED text — the apply-side proof that closes the
+    PII tier's find (q196) → apply (q68) → AUDIT chain the way q193
+    closes the split tier and q194 the mixture tier. Every match
+    column must read zero: the email mask leaves no '@'-bearing token
+    and the digit mask leaves only sub-threshold runs, and because
+    the replacement literals contain neither '@' nor digits, masking
+    cannot CREATE a new match by adjacency (pytest pins the
+    from-first-principles cases; this query proves it corpus-wide on
+    both engines). n_docs stays the real per-source count, so a green
+    row is a measured all-clear, not a vacuous empty result.
+
+    Plan shape: identical to q196 (scan-local regexp rewrite + count,
+    one hash aggregate) — the scrub adds two JVM regexp_replace
+    passes to the projection, still zero-shuffle."""
+    d = T(spark, sf, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_NUM_RE,
+        "<NUM>",
+    )
+    return _pii_report(d, scrubbed)
+
+
+@declared(
+    "q200_dedup_apply_audit",
+    _PAIR_CTE
+    + """,
+       alldocs AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+       dropped AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+       surv AS (SELECT a.doc_id FROM alldocs a
+                LEFT JOIN dropped dr ON dr.doc_id = a.doc_id
+                WHERE dr.doc_id IS NULL),
+       viol AS (SELECT CAST(COUNT(*) AS BIGINT) AS surviving_dup_pairs
+                FROM pairs p
+                JOIN surv s1 ON s1.doc_id = p.id_a
+                JOIN surv s2 ON s2.doc_id = p.id_b)
+       SELECT CAST((SELECT COUNT(*) FROM alldocs) AS BIGINT) AS n_docs,
+              CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_kept,
+              CAST((SELECT COUNT(*) FROM dropped) AS BIGINT) AS n_dropped,
+              surviving_dup_pairs
+       FROM viol""",
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-apply AUDIT (round 13): the verification step that makes
+    q150's kill decision a measured fact — re-probe the raw duplicate
+    PAIR graph against the survivor set and count pairs whose BOTH
+    endpoints survived the keep-min-representative apply. Zero by
+    construction (every cluster keeps exactly its min-id member, and
+    every pair's endpoints share a cluster), and this query proves it
+    from the EDGES, not from the labels the apply used — the same
+    audit-the-output-against-the-input discipline as q193 (split
+    tier), q194 (mixture) and q199 (PII). Also reports corpus /
+    kept / dropped totals so the all-clear row is non-vacuous.
+
+    Plan shape at 100 TB: pair graph and CC labels are the session's
+    derived cache entries (built once, shared with q116/q148/q150/
+    q158/q193); dropped ids are a small fraction of the corpus; the
+    audit is two equi-joins of the (sparse) pair list against the
+    survivor id list plus four 1-row aggregates crossJoined as
+    broadcast singletons. Never a corpus self-join."""
+    from iceberg_cache_spark.plans.shared import (
+        ngram_cc_labels,
+        ngram_pair_graph,
+    )
+
+    d = (
+        T(spark, sf, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    labels = ngram_cc_labels(spark, sf)
+    dropped = labels.filter(F.col("id") != F.col("cid")).select(
+        F.col("id").alias("doc_id")
+    )
+    surv = d.join(dropped, "doc_id", "left_anti")
+    pairs = ngram_pair_graph(spark, sf)
+    viol = (
+        pairs.join(surv.select(F.col("doc_id").alias("id_a")), "id_a")
+        .join(surv.select(F.col("doc_id").alias("id_b")), "id_b")
+        .agg(F.count("*").cast("bigint").alias("surviving_dup_pairs"))
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    nk = surv.agg(F.count("*").cast("bigint").alias("n_kept"))
+    ndr = dropped.agg(F.count("*").cast("bigint").alias("n_dropped"))
+    return (
+        nd.crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(ndr))
+        .crossJoin(F.broadcast(viol))
+        .select("n_docs", "n_kept", "n_dropped", "surviving_dup_pairs")
+    )

@@ -1,4 +1,4 @@
-"""Round-13 new-query semantics pins (q194–q197).
+"""Round-13 new-query semantics pins (q194–q200).
 
 Each new query gets a PLANTED fixture whose expected output is
 recomputed in straight Python (the q191 discipline —
@@ -17,6 +17,13 @@ are pinned to hand-checkable numbers:
 - q197 shard curriculum: structural pins at sf0.001 — ranks are a
   permutation, tokens_filled reconciles EXACTLY with q189's shard
   manifest, and rank order equals mean_quality_e4 descending.
+- q198 source overlap matrix: planted cross-feed / intra-feed /
+  NULL-source-endpoint duplicate pairs -> exact matrix.
+- q199 post-scrub PII audit: adversarial adjacency fixtures (digits
+  flanking emails, mask-literal joins) — raw report non-zero, audit
+  all-clear with real n_docs.
+- q200 dedup-apply audit: zero surviving duplicate pairs among the
+  keep-min survivors, proven from the edges on the overlap fixture.
 """
 
 from __future__ import annotations
@@ -258,3 +265,162 @@ def test_quality_score_e4_is_exactly_10000x_quality(spark):
         F.abs(F.col("q") * 10000 - F.col("q_e4")) > 1e-6
     )
     assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# q198 — cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def _write_overlap_documents(path: str) -> None:
+    dup1 = "alpha beta gamma delta epsilon zeta eta theta"
+    dup2 = "one two three four five six seven eight nine"
+    dup3 = "red orange yellow green blue indigo violet"
+    rows = [
+        (1, "A", dup1),            # cross-feed pair with doc 2
+        (2, "B", dup1),
+        (3, "B", dup2),            # intra-B pair with doc 4
+        (4, "B", dup2),
+        (5, None, dup3),           # NULL-source endpoint: pair dropped
+        (6, "A", dup3),
+        (7, "A", "completely unrelated text with its own tokens"),
+    ]
+    texts = [r[2] for r in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(path, "documents.parquet"),
+    )
+
+
+@pytest.fixture(scope="module")
+def overlap_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("overlap_matrix")
+    _write_overlap_documents(str(d))
+    return str(d)
+
+
+def test_q198_planted_matrix_exact(spark, overlap_dir):
+    rows = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in QUERIES["q198_source_overlap_matrix"](
+            spark, overlap_dir
+        ).collect()
+    }
+    # cross-feed A<->B once, intra-B once; the NULL-source pair 5~6
+    # is dropped (no feed to attribute)
+    assert rows == {("A", "B"): 1, ("B", "B"): 1}
+
+
+def test_q198_planted_hash_matches_oracle(spark, overlap_dir):
+    compare(
+        QUERIES["q198_source_overlap_matrix"](spark, overlap_dir),
+        ORACLE["q198_source_overlap_matrix"],
+        overlap_dir,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — post-scrub PII audit
+# ---------------------------------------------------------------------------
+
+
+def _write_scrub_documents(path: str) -> None:
+    rows = [
+        # adjacency traps: digits flanking an email (consumed into the
+        # email match by the greedy classes), digit runs split by the
+        # mask literal, multiple emails
+        (1, "A", "123456a@b.cd and x@y.zz99999 tail"),
+        (2, "A", "12345 and 54321 stay (sub-threshold)"),
+        (3, "B", "run 1234567 then 890123456 end"),
+        (4, "B", None),
+        (5, None, "edge a@@b and 999999"),
+    ]
+    texts = [r[2] for r in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(path, "documents.parquet"),
+    )
+
+
+@pytest.fixture(scope="module")
+def scrub_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("scrub_audit")
+    _write_scrub_documents(str(d))
+    return str(d)
+
+
+def test_q199_planted_all_clear_and_nonvacuous(spark, scrub_dir):
+    # the raw report is NON-zero on this fixture (the audit's
+    # non-vacuity witness) ...
+    raw = {
+        r.source: r
+        for r in QUERIES["q196_pii_incidence"](spark, scrub_dir).collect()
+    }
+    # raw counts are independent per pattern: doc 1's leading "123456"
+    # is both inside the email match AND a standalone digit run
+    assert raw["A"].email_matches == 2 and raw["A"].number_matches == 1
+    assert raw["B"].number_matches == 2
+    assert raw[None].email_matches == 0  # 'a@@b' is not an email
+    assert raw[None].number_matches == 1
+    # ... and the post-scrub audit reads all-clear with real n_docs
+    audit = {
+        r.source: r
+        for r in QUERIES["q199_pii_scrub_audit"](spark, scrub_dir).collect()
+    }
+    assert set(audit) == {"A", "B", None}
+    for r in audit.values():
+        assert r.n_docs > 0
+        assert (
+            r.docs_with_email, r.docs_with_number,
+            r.email_matches, r.number_matches, r.pii_docs_ppm,
+        ) == (0, 0, 0, 0, 0)
+
+
+def test_q199_planted_hash_matches_oracle(spark, scrub_dir):
+    compare(
+        QUERIES["q199_pii_scrub_audit"](spark, scrub_dir),
+        ORACLE["q199_pii_scrub_audit"],
+        scrub_dir,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200 — dedup-apply audit
+# ---------------------------------------------------------------------------
+
+
+def test_q200_planted_audit_exact(spark, overlap_dir):
+    # overlap fixture pairs: (1,2), (3,4), (5,6); min-id keep drops
+    # {2,4,6}; doc 7 is a singleton. The audit must read zero
+    # surviving pairs with the real totals.
+    row = QUERIES["q200_dedup_apply_audit"](spark, overlap_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.n_docs, r.n_kept, r.n_dropped) == (7, 4, 3)
+    assert r.surviving_dup_pairs == 0
+
+
+def test_q200_planted_hash_matches_oracle(spark, overlap_dir):
+    compare(
+        QUERIES["q200_dedup_apply_audit"](spark, overlap_dir),
+        ORACLE["q200_dedup_apply_audit"],
+        overlap_dir,
+    )

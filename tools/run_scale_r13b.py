@@ -1,16 +1,18 @@
 #!/usr/bin/env python
-"""Round-13 scale evidence, part 2: decade ratios for the four NEW
+"""Round-13 scale evidence, part 2: decade ratios for the seven NEW
 queries (q194 mixture audit, q195 decontam source roll-up, q196 PII
-incidence, q197 shard curriculum) on the same gen_scaledata corpora
-(50k and 500k docs), median-of-3, every cell bracketed by the pure-CPU
-matmul self-probe so a throttled window can't masquerade as a plan
-problem (the SCALE_r13 §1 protocol).
+incidence, q197 shard curriculum, q198 source overlap matrix, q199
+post-scrub PII audit, q200 dedup-apply audit) on the same
+gen_scaledata corpora (50k and 500k docs), median-of-3, every cell
+bracketed by the pure-CPU matmul self-probe so a throttled window
+can't masquerade as a plan problem (the SCALE_r13 §1 protocol).
 
-q195 note: the builder is EAGER and serves the benchmark span set from
-the session cache after the first construction, exactly as a bench
-session does — the first sample of each size therefore includes the
-one-time bench-side build and the median reads the steady state; both
-are recorded.
+Session-cache note: q195 (bench span set), q198 and q200 (pair graph /
+CC labels) serve their shared derived frames from the session cache
+after the first construction, exactly as a bench session does — each
+size's FIRST sample of the first consumer pays the one-time build and
+the medians read the steady state; all samples are recorded so the
+cold cost stays visible.
 
 Usage: python tools/run_scale_r13b.py  (writes .scale_r13b_results.json)
 """
@@ -39,6 +41,9 @@ NAMES = (
     "q195_decontam_source_report",
     "q196_pii_incidence",
     "q197_shard_curriculum",
+    "q198_source_overlap_matrix",
+    "q199_pii_scrub_audit",
+    "q200_dedup_apply_audit",
 )
 SIZES = (50_000, 500_000)
 RUNS = 3
