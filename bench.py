@@ -159,13 +159,17 @@ def max_omitted(n_queries: int) -> int:
     tests/test_bench_line.py so the emitter and the test cannot drift
     (r10: the test's hand-scaled max(15, n//8)=22 bound failed on the
     committed payload's 23 omissions by ONE). The char budget is fixed
-    by the driver's ~2000-char stdout capture, so a growing registry
-    necessarily drops more of the sub-0.1s tail; ceil(n/6) tracks the
-    measured fit (r12: 184 queries + the probes_deferred field -> 30
-    omitted) with headroom for a few new queries per round. Every
+    by the driver's ~2000-char stdout capture, and the measured fit is
+    a roughly CONSTANT entry capacity (~150 entries at ~10.7 chars
+    each after the 251-char fixed header), not a fraction of n: r12's
+    184 queries fit 154 entries (30 omitted) and r13's 194 queries fit
+    154 again (40 omitted) — each registry addition pushes one
+    cheap-tail entry off a full line. So past ~150 queries the bound
+    grows 1:1 with n (n - 150, headroom ~4 over the r13 measured fit);
+    below that the old ceil(n/6) fraction still applies. Every
     multi-second query stays on the line regardless — omission is
-    costliest-first from the cheap end."""
-    return max(15, -(-n_queries // 6))
+    costliest-first from the cheap end (r13 omitted band: <= 0.35 s)."""
+    return max(15, -(-n_queries // 6), n_queries - 150)
 
 
 def compact_line(payload: dict) -> dict:
