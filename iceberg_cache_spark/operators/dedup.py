@@ -349,26 +349,24 @@ def ngram_jaccard_pairs(
     # shuffle carries fixed-width keys (64-bit collision odds ~1e-8 at
     # 100M distinct grams — negligible vs. the bandwidth saved)
     # explode_outer + null-filter: see minhash_signatures comment
-    #
-    # materialize-once: the gram-posting list feeds FIVE consumers
-    # (dfreq, the df-cap join, sizes, both self-join sides); without
-    # materialization Catalyst re-tokenizes and re-shingles the corpus
-    # once per consumer (~20 scans, zero ReusedExchange in the audited
-    # plan). One materialized posting list is the inverted index a
-    # dedicated engine would build anyway; on a cluster swap for
-    # persist(MEMORY_AND_DISK) + checkpoint for fault tolerance.
     grams = (
         with_shingles(df, text_col, n)
         .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("g"))
         .filter(F.col("g").isNotNull())
         .select(id_col, F.xxhash64("g").alias("gh"))
     )
-    grams = materialize(grams)
-    gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
-    kept = grams.join(gram_df.filter(F.col("dfreq") <= max_doc_freq), "gh").select(
-        id_col, "gh"
+    # Document frequency and per-doc gram-set size as WINDOW counts
+    # (round 13): each agg+join-back pair (dfreq keyed by gh, sz keyed
+    # by id) collapses into one unordered window count over its key —
+    # one exchange each instead of agg-exchange + join-back exchange
+    # (operations keyed the same way share one exchange). Identical
+    # values: an unordered window count over a partition equals the
+    # groupBy count joined back on the key.
+    kept = (
+        grams.withColumn("dfreq", F.count("*").over(W.partitionBy("gh")))
+        .filter(F.col("dfreq") <= max_doc_freq)
+        .select(id_col, "gh")
     )
-    sizes = kept.groupBy(id_col).agg(F.count("*").alias("sz"))
     # Carry each side's gram-set size INTO the bucket join (8 extra
     # bytes/row) so two pruning steps run before the intersection
     # aggregate instead of after it: (1) pairs whose size ratio is
@@ -378,7 +376,23 @@ def ngram_jaccard_pairs(
     # ids — deletes the two post-aggregation join-backs the previous
     # plan paid. Output identical; two shuffles and the worst of the
     # pair fan-out gone (round-4 scale-probe finding).
-    kept_sz = kept.join(sizes, id_col)
+    #
+    # materialize-once, moved to the LAST shared frame (round 13): with
+    # the window rewrite the posting list is a single linear chain up
+    # to here, and the self-join's two legs are the only repeated
+    # readers — checkpointing kept_sz (same width as the old grams
+    # checkpoint) removes one full corpus recompute per leg while
+    # paying the barrier once. eager=False: the consumer's own job
+    # fills the blocks (both legs read every partition; the block
+    # manager computes each partition once). Without a checkpoint
+    # Catalyst re-tokenizes and re-shingles the corpus once per leg
+    # (~20 scans, zero ReusedExchange in the audited plan). On a
+    # cluster swap for persist(MEMORY_AND_DISK) + checkpoint for
+    # fault tolerance.
+    kept_sz = materialize(
+        kept.withColumn("sz", F.count("*").over(W.partitionBy(id_col))),
+        eager=False,
+    )
     a = kept_sz.select(
         F.col(id_col).alias("id_a"), "gh", F.col("sz").alias("sz_a")
     )
