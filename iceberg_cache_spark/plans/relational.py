@@ -247,12 +247,31 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q16(spark: SparkSession, sf: str) -> DataFrame:
     p, s = T(spark, sf, "part"), T(spark, sf, "supplier")
-    # Non-equi join: broadcast the small side so Catalyst picks
-    # BroadcastNestedLoopJoin instead of a single-threaded cartesian.
+    # Band theta join, output-bound (~|p|x|s|/2 rows). Round 13: the
+    # old BroadcastNestedLoopJoin fed the full pair stream through a
+    # global ORDER BY — one range exchange + sort of the OUTPUT. The
+    # join collapses to explode(filter(sorted_keys, k -> k > p_size))
+    # over a broadcast one-row sorted key array (exact multiplicity:
+    # collect_list keeps duplicate keys and drops NULLs, matching the
+    # join's NULL-rejecting predicate; a NULL p_size filters to an
+    # empty array, matching too), and the total order is produced
+    # WITHOUT moving the output: range-partition the 20k-row part side
+    # by p_partkey BEFORE the fan-out, emit each row's matches in
+    # sorted-array order, and sortWithinPartitions afterwards — ordered
+    # range partitions + per-partition sort = the same total
+    # (p_partkey, s_suppkey) order, with the exchange carrying |p|
+    # rows instead of the |p|x|s|/2-row result.
+    keys = s.agg(F.sort_array(F.collect_list("s_suppkey")).alias("_ks"))
     return (
-        p.join(F.broadcast(s), F.col("p_size") < F.col("s_suppkey"))
-        .select("p_partkey", "s_suppkey")
-        .orderBy("p_partkey", "s_suppkey")
+        p.repartitionByRange("p_partkey")
+        .crossJoin(F.broadcast(keys))
+        .select(
+            "p_partkey",
+            F.explode(
+                F.filter(F.col("_ks"), lambda k: k > F.col("p_size"))
+            ).alias("s_suppkey"),
+        )
+        .sortWithinPartitions("p_partkey", "s_suppkey")
     )
 
 
