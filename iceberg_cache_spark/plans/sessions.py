@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from iceberg_cache_spark.operators import dedup as _D
 from iceberg_cache_spark.operators import similarity as _S
+from iceberg_cache_spark.operators.materialize import materialize
 from iceberg_cache_spark.operators.text import tokens as _tokens
 from iceberg_cache_spark.plans.extensions import _DUCK_TOKS
 from iceberg_cache_spark.plans.registry import declared
@@ -762,7 +763,21 @@ def gapfill_locf(e: DataFrame) -> DataFrame:
     """LOCF densification over an events-shaped DataFrame (q175 body;
     importable so the adversarial-span pytest can drive it on a
     synthetic corrupt-timestamp fixture)."""
-    obs = _gapfill_obs(e)
+    # Round 13, two structural fixes seen in the audited plan:
+    # (a) obs fed two consumers (grid bounds + the grid join) and was
+    # computed TWICE from the raw events — and the join leg, which
+    # keeps the struct-max v_last column, planned as a SortAggregate
+    # (complex-typed buffer), paying two extra sorts of the event
+    # stream. materialize-once removes the second scan+aggregate.
+    # (b) repartition("uk") on the bucket-level frame: hash(uk)
+    # satisfies the clustering requirement of the bounds aggregate
+    # (subset of (uk, b)), is inherited by the series leg through the
+    # explodes, and satisfies the LOCF window, which previously paid
+    # its own post-join exchange. Map-side partial aggregation in
+    # _gapfill_obs is untouched (the repartition sits above it); a
+    # key's grid is time-span-bounded, so concentrating one uk per
+    # partition is skew-immune (same argument as the window itself).
+    obs = materialize(_gapfill_obs(e).repartition("uk"), eager=False)
     series = _dense_series(obs)
     j = series.join(
         obs.select("uk", "b", "n_obs", "v_last"), ["uk", "b"], "left"
@@ -878,7 +893,9 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
 def gapfill_interpolate(e: DataFrame) -> DataFrame:
     """Linear-interpolation densification over an events-shaped
     DataFrame (q176 body; importable for the adversarial-span test)."""
-    obs = _gapfill_obs(e)
+    # materialize-once + one uk-hash exchange for the plan tail — see
+    # gapfill_locf (round 13).
+    obs = materialize(_gapfill_obs(e).repartition("uk"), eager=False)
     series = _dense_series(obs)
     j = series.join(
         obs.select("uk", "b", "n_obs", "v_last"), ["uk", "b"], "left"
@@ -887,7 +904,14 @@ def gapfill_interpolate(e: DataFrame) -> DataFrame:
     # side uses native last(ignorenulls) — identical semantics, ONE
     # window pass per direction instead of two (the (key, group)
     # partitions cost an extra exchange + sort each; the first bench
-    # read measured the 4-window formulation at 5.4 s)
+    # read measured the 4-window formulation at 5.4 s). The backward
+    # direction keeps the DESCENDING cumulative frame on purpose
+    # (round 13): first(ignorenulls) over [currentRow,
+    # unboundedFollowing] is semantically identical and would share
+    # the ascending sort, but Spark's UnboundedFollowing window frame
+    # re-evaluates the aggregate from scratch per row — O(rows²) per
+    # partition, measured 58 s vs 6 s at sf0.1 — so the second sort is
+    # the right price.
     w_f = W.partitionBy("uk").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
     w_b = (
         W.partitionBy("uk")
