@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from iceberg_cache_spark.operators.materialize import materialize
+
 PDEC = "decimal(28,12)"
 
 # Implementation dial for the *candidate-generation* stages (LSH bucket
@@ -249,41 +251,117 @@ def embedding_near_dup_pairs(
     impl: str | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine ≥ threshold, LSH-bucketed
-    so the self-join is per-bucket instead of n². Survivor pairs of a
+    so the pair space is per-bucket instead of n². Survivor pairs of a
     cheap double prefilter (threshold − 1e-6 margin) are rescored with
-    the exact decimal dot before the final threshold test."""
+    the exact decimal dot before the final threshold test.
+
+    impl="arrow" (default, round 13): candidate generation is ONE
+    chunked numpy matmul per bucket inside applyInPandas — the bucket
+    self-join previously materialized every b² candidate row through a
+    Catalyst higher-order-function dot (interpreted per element, no
+    codegen), so the prefilter itself dominated. The kernel emits only
+    the prefilter survivors; the exact decimal rescore then runs on
+    those few rows via two id-keyed join-backs. impl="fold" keeps the
+    join+fold reference shape; both paths end at the SAME exact decimal
+    threshold test, and any float64-vs-decimal disagreement lives
+    strictly inside the 1e-6 prefilter margin (a 64-term float64 dot
+    carries ~1e-13 relative error), so the emitted pair set is
+    identical — pinned fold-vs-arrow in test_round13_opt.py."""
+    impl = impl or DEFAULT_IMPL
     b = with_lsh_bucket(df, vec_col, dim, n_planes, impl=impl).select(
         F.col(id_col), F.col(vec_col), "lsh_bucket", _norm(F.col(vec_col)).alias("nrm")
     )
-    a = b.select(
+    exact_sim = (
+        F.round(
+            _exact_dot(F.col("v_a"), F.col("v_b"))
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        )
+        + 0.0
+    ).alias("sim")
+    if impl == "fold":
+        a = b.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("v_a"),
+            F.col("nrm").alias("n_a"),
+            "lsh_bucket",
+        )
+        c = b.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("v_b"),
+            F.col("nrm").alias("n_b"),
+            "lsh_bucket",
+        )
+        fast_sim = _fast_dot(F.col("v_a"), F.col("v_b")) / (
+            F.col("n_a") * F.col("n_b")
+        )
+        return (
+            a.join(c, "lsh_bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(fast_sim >= threshold - 1e-6)
+            .select("id_a", "id_b", exact_sim)
+            .filter(F.col("sim") >= threshold)
+            .distinct()
+        )
+
+    # arrow: the bucket frame feeds candidate generation plus both
+    # rescore join-backs — materialize once (lazy; the first consumer's
+    # job fills the blocks).
+    b = materialize(b, eager=False)
+    id_type = df.schema[id_col].dataType.simpleString()
+    margin = threshold - 1e-6
+    # Rows the fold prefilter could never emit (a NULL id never
+    # satisfies id_a < id_b; NULL/wrong-dim/NULL-element vectors and
+    # NULL norms yield NULL fast_sim) are dropped before the kernel so
+    # np.stack sees a clean fixed-dim batch.
+    clean = b.filter(
+        F.col(id_col).isNotNull()
+        & F.col("nrm").isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(id_col, vec_col, "nrm", "lsh_bucket")
+
+    def _gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        out_a, out_b = [], []
+        # chunked rows bound the score matrix at CH x n whatever the
+        # bucket size (hot buckets stream, never allocate b² floats)
+        CH = 2048
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i0 in range(0, n, CH):
+                i1 = min(i0 + CH, n)
+                S = (V[i0:i1] @ V.T) / np.outer(nrm[i0:i1], nrm)
+                ia, ib = np.nonzero(S >= margin)
+                keep = ids[i0 + ia] < ids[ib]
+                out_a.append(ids[i0 + ia][keep])
+                out_b.append(ids[ib][keep])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    cand = clean.groupBy("lsh_bucket").applyInPandas(
+        _gen, f"id_a {id_type}, id_b {id_type}"
+    )
+    sa = b.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
         F.col("nrm").alias("n_a"),
-        "lsh_bucket",
     )
-    c = b.select(
+    sb = b.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v_b"),
         F.col("nrm").alias("n_b"),
-        "lsh_bucket",
     )
-    fast_sim = _fast_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        a.join(c, "lsh_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(fast_sim >= threshold - 1e-6)
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.round(
-                    _exact_dot(F.col("v_a"), F.col("v_b"))
-                    / (F.col("n_a") * F.col("n_b")),
-                    6,
-                )
-                + 0.0
-            ).alias("sim"),
-        )
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", exact_sim)
         .filter(F.col("sim") >= threshold)
         .distinct()
     )

@@ -535,7 +535,19 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("doc_id").isNotNull())
         .distinct()
     )
-    media = d.mapInPandas(synth, "doc_id long, payload binary")
+    # Explicitly re-spread the id list to the cluster's compute width
+    # before the opaque Python stages (round 13): AQE sizes shuffle
+    # partitions by BYTES, so the distinct's few-KB output coalesces to
+    # ONE partition and the whole synth→decode→hash chain — the
+    # expensive part, invisible to AQE — serializes onto one core
+    # (measured: 1 task at sf0.1). An explicit numPartitions is exempt
+    # from AQE coalescing; hashing on doc_id keeps the assignment
+    # deterministic under task retry (guide §2.5). The exchange carries
+    # 8-byte ids, cheap at any scale.
+    n_spread = spark.sparkContext.defaultParallelism
+    media = d.repartition(n_spread, "doc_id").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
     hashes = M.perceptual_hashes(media, "doc_id")
     return (
         M.perceptual_near_dup_pairs(hashes, "doc_id", max_hamming=3)

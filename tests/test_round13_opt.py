@@ -90,3 +90,44 @@ def test_midloop_local_finish_matches(spark):
 def test_local_finish_empty_and_selfloops(spark):
     pairs = _pairs_df(spark, [(5, 5), (9, 9)])
     assert connected_components_star(pairs).count() == 0
+
+
+# --- embedding near-dup: arrow kernel vs fold reference ---------------------
+
+
+def test_embedding_near_dup_arrow_matches_fold(spark):
+    """The round-13 per-bucket matmul candidate kernel must emit the
+    exact pair set and sims of the join+fold reference — including
+    NULL-id rows, NULL vectors, and a planted near-pair."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_cache_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(80):
+        rows.append((i, [rng.gauss(0.0, 1.0) for _ in range(8)]))
+    # planted near-dups: tiny perturbation of rows 0..9
+    for i in range(10):
+        rows.append((1000 + i, [x + 0.01 for x in rows[i][1]]))
+    # NULL id: must never pair. (A NULL *vector* is outside the arrow
+    # path's pre-existing contract — with_lsh_bucket(impl="arrow")
+    # raises on it by design; fold handles it — so it is not planted.)
+    rows.append((None, [1.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    fold = {
+        (r.id_a, r.id_b, r.sim)
+        for r in S.embedding_near_dup_pairs(
+            df, threshold=0.9, dim=8, n_planes=3, impl="fold"
+        ).collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b, r.sim)
+        for r in S.embedding_near_dup_pairs(
+            df, threshold=0.9, dim=8, n_planes=3, impl="arrow"
+        ).collect()
+    }
+    assert arrow == fold
+    assert len(arrow) >= 10  # every planted pair recovered
