@@ -18,7 +18,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from iceberg_cache_spark.operators.materialize import materialize, unmaterialize
+from iceberg_cache_spark.operators.materialize import (
+    materialize,
+    spread_scan,
+    unmaterialize,
+)
 from iceberg_cache_spark.operators.text import tokens
 
 
@@ -92,8 +96,13 @@ def minhash_signatures(
     # explode_outer, not explode: plain explode makes Catalyst infer a
     # size(_sh)>0 filter and push it below the projection with the whole
     # shingle expression inlined — re-tokenizing per shingle index.
+    #
+    # spread_scan (round 13): the tokenize+shingle+64-hash partial
+    # aggregation is per-row compute charged to the SCAN stage — an
+    # under-parallel source serializes it (no-op on an already-parallel
+    # scan; see the helper).
     sh = (
-        with_shingles(df, text_col, shingle_k)
+        with_shingles(spread_scan(df, id_col), text_col, shingle_k)
         .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("s"))
         .filter(F.col("s").isNotNull())
     )
@@ -195,7 +204,10 @@ def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash per doc: sign of per-bit weighted sums of token
-    hashes. Pure aggregate — one shuffle by doc id."""
+    hashes. Pure aggregate — one shuffle by doc id. spread_scan: the
+    tokenize+explode+64 bit-sum partials are scan-stage compute (see
+    minhash_signatures)."""
+    df = spread_scan(df, id_col)
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
     ).withColumn("h", F.xxhash64("t"))
@@ -349,8 +361,10 @@ def ngram_jaccard_pairs(
     # shuffle carries fixed-width keys (64-bit collision odds ~1e-8 at
     # 100M distinct grams — negligible vs. the bandwidth saved)
     # explode_outer + null-filter: see minhash_signatures comment
+    # spread_scan: tokenize+shingle+explode are scan-stage compute
+    # (no-op on an already-parallel scan; see minhash_signatures)
     grams = (
-        with_shingles(df, text_col, n)
+        with_shingles(spread_scan(df, id_col), text_col, n)
         .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("g"))
         .filter(F.col("g").isNotNull())
         .select(id_col, F.xxhash64("g").alias("gh"))
@@ -449,31 +463,38 @@ def ngram_jaccard_pairs_ppjoin(
     integer — a float ⌈t·sz⌉ can round up past the true value and
     silently drop qualifying pairs.
 
-    The posting list is materialized once: it feeds six
-    consumers (dfreq, rank, sizes, both verify sides) and an
-    unmaterialized plan re-tokenizes the corpus per consumer (audited:
-    ~20 scans, no ReusedExchange). See ngram_jaccard_pairs.
+    Round 13 (same treatment as ngram_jaccard_pairs): document
+    frequency is an unordered window count over gh, and rank + gram-set
+    size share ONE id-keyed window exchange (row_number ordered by
+    (dfreq, gh) plus an unordered count over the same partition) —
+    replacing the dfreq aggregate + join-back, the rank join, and the
+    sizes aggregate + join-back (an unordered window count over a
+    partition equals the groupBy count joined back on the key). The
+    enriched posting list (id, gh, sz, rnk) is then materialized once:
+    it feeds four consumers (both prefix-join sides, both verify
+    sides), and an unmaterialized plan re-tokenizes the corpus per
+    consumer (audited: ~20 scans, no ReusedExchange). Pair sizes ride
+    the candidate rows as grouping keys, deleting the two
+    post-aggregation size join-backs. Output identical.
     """
+    # spread_scan: see minhash_signatures (round 13)
     grams = (
-        with_shingles(df, text_col, n)
+        with_shingles(spread_scan(df, id_col), text_col, n)
         .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("g"))
         .filter(F.col("g").isNotNull())
         .select(id_col, F.xxhash64("g").alias("gh"))
     )
-    grams = materialize(grams)
-    gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
-    ranked = grams.join(gram_df, "gh").withColumn(
-        "rnk",
-        F.row_number().over(
-            W.partitionBy(id_col).orderBy("dfreq", "gh")
-        ),
+    w_id = W.partitionBy(id_col)
+    grams = materialize(
+        grams.withColumn("dfreq", F.count("*").over(W.partitionBy("gh")))
+        .withColumn("rnk", F.row_number().over(w_id.orderBy("dfreq", "gh")))
+        .withColumn("sz", F.count("*").over(w_id)),
+        eager=False,
     )
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     num, den = F.lit(threshold_num), F.lit(threshold_den)
-    with_sz = ranked.join(sizes, id_col)
     # integer ceil(t*sz) = (num*sz + den - 1) div den
     prefix_len = F.col("sz") - ((num * F.col("sz") + den - 1) / den).cast("bigint") + 1
-    prefix = with_sz.filter(F.col("rnk") <= prefix_len).select(
+    prefix = grams.filter(F.col("rnk") <= prefix_len).select(
         id_col, "gh", "sz", "rnk"
     )
 
@@ -512,7 +533,10 @@ def ngram_jaccard_pairs_ppjoin(
             & (F.col("sz_b") * num <= F.col("sz_a") * den)
         )
         .filter(ubound >= min_overlap)
-        .select("id_a", "id_b")
+        # sizes are functionally dependent on ids: carrying them through
+        # the distinct and the verify aggregate deletes the two
+        # post-aggregation size join-backs (round 13)
+        .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
     ga = grams.select(F.col(id_col).alias("id_a"), "gh")
@@ -520,16 +544,12 @@ def ngram_jaccard_pairs_ppjoin(
     inter = (
         cand.join(ga, "id_a")
         .join(gb, ["id_b", "gh"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     thr = threshold_num / threshold_den
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             F.round(
@@ -705,13 +725,22 @@ def incremental_dedup_flags(
         .filter(F.col("g").isNotNull())
         .select(id_col, "_side", F.xxhash64("g").alias("gh"))
     )
-    grams = materialize(grams)
-    gram_df = grams.groupBy("gh").agg(F.count("*").alias("dfreq"))
-    kept = grams.join(
-        gram_df.filter(F.col("dfreq") <= max_doc_freq), "gh"
-    ).select(id_col, "_side", "gh")
-    sizes = kept.groupBy(id_col, "_side").agg(F.count("*").alias("sz"))
-    kept_sz = kept.join(sizes, [id_col, "_side"])
+    # Window counts instead of agg+join-backs, checkpoint moved to the
+    # last shared frame — the ngram_jaccard_pairs round-13 treatment
+    # (one exchange per count; identical values; NULL-id rows the old
+    # inner join-back dropped die at the _bid/_cid join-backs below
+    # either way).
+    kept = (
+        grams.withColumn("dfreq", F.count("*").over(W.partitionBy("gh")))
+        .filter(F.col("dfreq") <= max_doc_freq)
+        .select(id_col, "_side", "gh")
+    )
+    kept_sz = materialize(
+        kept.withColumn(
+            "sz", F.count("*").over(W.partitionBy(id_col, "_side"))
+        ),
+        eager=False,
+    )
     bg = kept_sz.filter(F.col("_side") == 1).select(
         F.col(id_col).alias("_bid"), "gh", F.col("sz").alias("sz_b")
     )
@@ -1045,7 +1074,7 @@ def boilerplate_gram_stats(
     space by construction — high-df grams are few — so it BROADCASTS
     back, and the per-doc recount is a broadcast semi-join over the
     scan, not a second all-grams shuffle join."""
-    grams = with_shingles(df, text_col, n).select(
+    grams = with_shingles(spread_scan(df, id_col), text_col, n).select(
         F.col(id_col), F.explode_outer(F.col("_sh")).alias("g")
     ).filter(F.col("g").isNotNull()).select(id_col, F.xxhash64("g").alias("gh"))
     boiler = (

@@ -57,6 +57,36 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Re-spread an under-parallel SOURCE frame to the cluster's
+    compute width before a CPU-heavy derivation (tokenize+explode,
+    multi-hash signatures, media decode).
+
+    Scan parallelism is sized by BYTES (file splits, AQE coalescing),
+    which under-provisions stages whose cost is per-row compute: a
+    small or unsplittable input funnels the whole derivation into one
+    task while the rest of the cluster idles (guide: "one huge
+    unsplittable file — repartition immediately after the read").
+    Scale-adaptive by construction: when the source already carries at
+    least defaultParallelism partitions — any real table scan at
+    cluster scale — this is a NO-OP and costs nothing; only an
+    under-parallel source pays one exchange of its (by definition
+    small) bytes. Hash-partitioning on ``key_cols`` keeps the
+    row-to-partition assignment deterministic under task retry
+    (SPARK-38388 class); pass the row's id column.
+
+    ``df.rdd`` here only compiles the physical plan to read its
+    partitioning (no job); use on scan-level frames. Streaming frames
+    pass through untouched (``.rdd`` is undefined for them and their
+    micro-batch partitioning is the planner's job)."""
+    if df.isStreaming:
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
 def _root_rdd(df: DataFrame):
     """The java RDD behind ``df`` iff its plan ROOT is a checkpointed
     scan (what ``materialize`` returns), else None."""

@@ -201,8 +201,14 @@ def gopher_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     Plan shape: explode tokens → (doc, word) count → per-doc aggregate.
     Two hash aggregates with map-side combine, shuffle keyed by doc id —
     no windows, no Python. The (doc, word) intermediate is bounded by
-    corpus token count, exactly like any inverted-index build."""
+    corpus token count, exactly like any inverted-index build.
+    spread_scan (round 13): the tokenize+explode+partial-agg is
+    scan-stage compute — an under-parallel source serializes it (no-op
+    on an already-parallel scan)."""
+    from iceberg_cache_spark.operators.materialize import spread_scan
+
     stop = _LANG_MARKERS["en"]
+    df = spread_scan(df, id_col)
     ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
     c = ex.groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
     m = c.groupBy(id_col).agg(

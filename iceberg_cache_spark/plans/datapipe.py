@@ -1075,7 +1075,12 @@ def _span_base(d: DataFrame) -> DataFrame:
     """(doc_id, t, n_tokens) with n_tokens coalesced to 0 for NULL
     texts (a NULL text yields NULL spans which the span <> '' gate
     drops, so the coalesce is presentation-only — it keeps q178's
-    output columns NULL-free where the oracle's are)."""
+    output columns NULL-free where the oracle's are).
+
+    Round 13 measured and rejected a spread_scan here: it buys q174
+    ~1 s (3.9→3.1 warm) but costs q178 ~2 s with erratic spread
+    (3.2-3.8 stable → 3.9-7.4) — q178 consumes base TWICE (islands
+    chain + rewrite join) and pays the added text exchange per leg."""
     toks = d.select("doc_id", _text_tokens(F.col("text")).alias("t"))
     return toks.select(
         "doc_id",

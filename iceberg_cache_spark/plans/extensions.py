@@ -1536,9 +1536,22 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = T(spark, sf, "documents")
-    w = W.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    k = F.md5(F.col("doc_id").cast("string"))
+    # Round 13: ROW_NUMBER() OVER (ORDER BY ...) with no PARTITION BY
+    # single-partitions the ENTIRE corpus through one WindowExec task —
+    # the one plan shape that cannot scale. pos <= 200 selects exactly
+    # the 200 smallest rows in the (md5, doc_id) total order, so the
+    # selection runs as orderBy().limit(200) — TakeOrderedAndProject,
+    # a parallel per-partition top-K merged on the driver — and the
+    # global window only numbers the 200 survivors. Identical rows:
+    # the order is total for non-NULL ids, and boundary ties among
+    # NULL-id rows are content-identical either way.
+    top = d.select("doc_id", k.alias("_k")).orderBy("_k", "doc_id").limit(200)
+    w = W.orderBy("_k", F.col("doc_id"))
     return (
-        d.select("doc_id", F.row_number().over(w).cast("bigint").alias("pos"))
+        top.select(
+            "doc_id", F.row_number().over(w).cast("bigint").alias("pos")
+        )
         .filter(F.col("pos") <= 200)
         .orderBy("pos")
     )
