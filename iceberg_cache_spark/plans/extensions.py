@@ -1204,8 +1204,13 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
 def q98(spark: SparkSession, sf: str) -> DataFrame:
     """Sample covariance + Pearson correlation recomputed from exact
     decimal sums (native covar_samp/corr are summation-order dependent,
-    same treatment as q26's stddev)."""
-    li = T(spark, sf, "lineitem")
+    same treatment as q26's stddev). spread_scan (round 13): the six
+    decimal partial sums are scan-stage compute — measured 3.1 s
+    single-task at sf0.1; decimal sums are order-independent, so the
+    re-spread cannot change the result."""
+    from iceberg_cache_spark.operators.materialize import spread_scan
+
+    li = spread_scan(T(spark, sf, "lineitem"), "l_orderkey", "l_linenumber")
     g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("sx"),
