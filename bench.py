@@ -16,13 +16,19 @@ Measurement protocol (round 7 — process isolation):
   4.62 s in a fresh process, and the cache-cold probe crept
   2.23->3.46 s — session debris (codegen caches, broadcast refs, GC
   pressure) accumulates faster than clearCache+System.gc() can settle
-  it. The suite now runs in PROCESS GROUPS: sorted(QUERIES) is split
-  into contiguous slices of SPARK_GRAFT_BENCH_GROUP_SIZE (default 12)
-  and each slice is measured by a fresh child process (own JVM, own
-  warmup), run sequentially so measurements never compete for cores.
-  Cross-round comparisons then see at most group_size queries of
-  accumulated state, reproducing a fresh-process number within the
-  spread gate.
+  it. The suite now runs in PROCESS GROUPS, each measured by a fresh
+  child process (own JVM, own warmup), run sequentially so
+  measurements never compete for cores. Cross-round comparisons then
+  see at most a group's worth of accumulated state, reproducing a
+  fresh-process number within the spread gate. Round 14 (VERDICT r13
+  #7): group MEMBERSHIP is crc32(query name) % SPARK_GRAFT_BENCH_GROUPS
+  (default 16), not a contiguous slice of the sorted registry — a
+  positional slice re-dealt every group whenever the registry grew,
+  moving warmup/JIT placement under dozens of queries at once and
+  flipping 0.1 s-quantized sub-second rows into round-over-round
+  "regressed" noise. Name-hash groups are stable under growth; the
+  per-query protocol (3 runs, median, settle between queries, spread
+  gate + re-measure) is untouched.
 - The scale probe and the cache cold/hit measurement each get their
   own child process for the same reason (the cache COLD number in
   particular is meaningless after 456 suite queries warmed the JVM's
@@ -65,6 +71,7 @@ import subprocess
 import sys
 import tempfile
 import time
+import zlib
 
 import pandas as pd
 
@@ -318,10 +325,42 @@ def _measure(spark, fn, sf_dir: str, runs: int) -> list[float]:
 # ---------------------------------------------------------------------------
 
 
+def bench_group(name: str, n_groups: int) -> int:
+    """A query's process-group id: crc32 of its NAME, not its registry
+    position (round 14, VERDICT r13 #7). Positional slicing reshuffled
+    every group whenever the registry grew — each addition shifted the
+    per-process warmup/JIT placement of dozens of queries, flipping
+    ~33 sub-second queries into 0.1 s-quantized "regressed" noise in
+    the round-over-round comparison. Name-hash assignment is stable
+    under registry growth: adding a query never moves an existing one
+    to a different group. The group COUNT is pinned (default 16, env
+    SPARK_GRAFT_BENCH_GROUPS) for the same reason — a count derived
+    from the registry size would rehash everything on growth."""
+    return zlib.crc32(name.encode("utf-8")) % n_groups
+
+
+def group_names(gid: int, n_groups: int) -> list[str]:
+    from iceberg_cache_spark.plans import QUERIES
+
+    return sorted(n for n in QUERIES if bench_group(n, n_groups) == gid)
+
+
+def child_group(gid: int, n_groups: int, sf_dir: str, runs: int,
+                out_path: str) -> None:
+    _child_measure_names(group_names(gid, n_groups), sf_dir, runs, out_path)
+
+
 def child_slice(lo: int, hi: int, sf_dir: str, runs: int, out_path: str) -> None:
     from iceberg_cache_spark.plans import QUERIES
 
-    names = sorted(QUERIES)[lo:hi]
+    _child_measure_names(sorted(QUERIES)[lo:hi], sf_dir, runs, out_path)
+
+
+def _child_measure_names(
+    names: list[str], sf_dir: str, runs: int, out_path: str
+) -> None:
+    from iceberg_cache_spark.plans import QUERIES
+
     spark = _build_session()
     times: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
@@ -886,7 +925,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    group_size = int(os.environ.get("SPARK_GRAFT_BENCH_GROUP_SIZE", "12"))
+    n_groups = int(os.environ.get("SPARK_GRAFT_BENCH_GROUPS", "16"))
 
     from iceberg_cache_spark.plans import QUERIES
 
@@ -918,10 +957,11 @@ def main() -> None:
     # THE HEADLINE DELIVERABLES NEXT (round 12 — VERDICT r11 #1): the
     # 16 suite slices and the cache probes always land; the probe tier
     # runs LAST under the wall budget.
-    for lo in range(0, n, group_size):
-        hi = min(lo + group_size, n)
-        out = os.path.join(tmpdir, f"slice_{lo}_{hi}.json")
-        _run_child(["--slice", str(lo), str(hi), out])
+    for gid in range(n_groups):
+        if not group_names(gid, n_groups):
+            continue
+        out = os.path.join(tmpdir, f"group_{gid}.json")
+        _run_child(["--group", str(gid), str(n_groups), out])
         with open(out) as fh:
             part = json.load(fh)
         times.update(part["times"])
@@ -1022,7 +1062,7 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "agg": "median",
-        "isolation": {"mode": "process-group", "group_size": group_size},
+        "isolation": {"mode": "process-group-by-name-hash", "n_groups": n_groups},
         "config": config,
     }
     # Full payload goes to a file; stdout gets ONE compact line (short
@@ -1037,6 +1077,14 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--slice":
         child_slice(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")),
+            sys.argv[4],
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--group":
+        child_group(
             int(sys.argv[2]),
             int(sys.argv[3]),
             os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),

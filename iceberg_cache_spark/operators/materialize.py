@@ -57,7 +57,12 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
-def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+SPREAD_MIN_BYTES_CONF = "spark.iceberg_cache.spread.minBytesPerTask"
+
+
+def spread_scan(
+    df: DataFrame, *key_cols: str, min_bytes_per_task: int = 256 << 10
+) -> DataFrame:
     """Re-spread an under-parallel SOURCE frame to the cluster's
     compute width before a CPU-heavy derivation (tokenize+explode,
     multi-hash signatures, media decode).
@@ -75,15 +80,52 @@ def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     row-to-partition assignment deterministic under task retry
     (SPARK-38388 class); pass the row's id column.
 
+    ``min_bytes_per_task`` (round 14) gates the spread on the
+    optimizer's size estimate — plan statistics, no job: an exchange
+    only pays off when each would-be task owns enough bytes that the
+    derivation's CPU dominates the exchange + task-scheduling overhead
+    it adds. Round 13 spread every under-parallel source and the
+    driver bench convicted the light-derivation case (gopher's
+    tokenize+count over a ~0.6 MB corpus: q117 0.9 s → 9.9 s
+    median-of-3 — the 32-way fan-out's straggler jitter swamps the
+    sub-second single-task compute; reproduced locally at 1.1–13.2 s
+    vs 0.87 s stable unspread). Calibration is CPU-per-byte of the
+    DERIVATION, not the data: the default (256 KB/task) keeps ~50
+    cycles/byte derivations (shingle + 64-hash signatures, decimal
+    partial sums) spreading exactly as round 13 measured them winning,
+    while light consumers pass a higher floor (gopher passes 64 MB —
+    a plain tokenize earns an exchange only when a task owns a real
+    file split's worth of text). Overridable per session via
+    ``spark.iceberg_cache.spread.minBytesPerTask`` (takes precedence;
+    set 0 to restore unconditional spreading). When statistics are
+    unavailable the spread proceeds (conservative at scale: the no-op
+    guard still catches already-parallel scans).
+
     ``df.rdd`` here only compiles the physical plan to read its
     partitioning (no job); use on scan-level frames. Streaming frames
     pass through untouched (``.rdd`` is undefined for them and their
     micro-batch partitioning is the planner's job)."""
     if df.isStreaming:
         return df
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    parts = df.rdd.getNumPartitions()
+    if parts >= n:
         return df
+    try:
+        conf_min = spark.conf.get(SPREAD_MIN_BYTES_CONF, None)
+        if conf_min is not None:
+            min_bytes_per_task = int(conf_min)
+    except Exception:
+        pass
+    if min_bytes_per_task > 0:
+        try:
+            raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            est = int(raw if isinstance(raw, int) else str(raw))
+        except Exception:
+            est = None
+        if est is not None and est // max(parts, 1) < min_bytes_per_task:
+            return df
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
 
 

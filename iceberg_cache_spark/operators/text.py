@@ -74,31 +74,52 @@ def punct_ratio(col: Column) -> Column:
     return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(0.0)
 
 
-def stopword_ratio(col: Column, stopwords: tuple[str, ...] = _LANG_MARKERS["en"]) -> Column:
-    """Fraction of tokens that are (English, by default) stopwords."""
-    toks = tokens(col)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
+def stopword_ratio(
+    col: Column,
+    stopwords: tuple[str, ...] = _LANG_MARKERS["en"],
+    toks: Column | None = None,
+) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords.
+
+    ``toks`` (round 14): pass a PRE-STAGED token-array column to share
+    one tokenization across several consumers in the same projection.
+    The tokenizer is the expensive part of every text-quality
+    expression (a full-text regexp_replace + split per evaluation) and
+    Catalyst inlines single-reference aliases, so a query computing
+    stopword_ratio + quality_score re-tokenized up to 6× per row
+    (q66's optimized plan carried 8 regexp_replace instances). Staging
+    the array in its own projection (multi-referenced, non-cheap —
+    CollapseProject keeps it) tokenizes exactly once."""
+    t = tokens(col) if toks is None else toks
+    hits = F.size(F.filter(t, lambda w: w.isin(*stopwords)))
+    return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(0.0)
 
 
-def _quality_decimal(col: Column) -> Column:
-    """The quality score as the exact rounded DECIMAL, before any
-    output-type cast — shared by quality_score (double presentation)
-    and quality_score_e4 (integer fixed point)."""
+def _quality_parts(length_col: Column, pr: Column, sr: Column) -> Column:
+    """The quality score as the exact rounded DECIMAL from its three
+    components (length, punct ratio, stopword ratio) — lets callers
+    stage the ratio columns once and reuse them (round 14)."""
     one = F.expr("CAST(1.0 AS DECIMAL(2,1))")
     len_score = F.least(
-        F.length(col).cast("decimal(12,3)") * F.expr("CAST(0.002 AS DECIMAL(4,3))"),
+        length_col.cast("decimal(12,3)") * F.expr("CAST(0.002 AS DECIMAL(4,3))"),
         one,
     )
-    pr = punct_ratio(col).cast("decimal(18,12)")
-    sr = stopword_ratio(col).cast("decimal(18,12)")
-    punct_score = one - F.least(pr * F.lit(4), one)
-    stop_score = F.least(sr * F.lit(5), one)
+    punct_score = one - F.least(pr.cast("decimal(18,12)") * F.lit(4), one)
+    stop_score = F.least(sr.cast("decimal(18,12)") * F.lit(5), one)
     w4, w3 = F.expr("CAST(0.4 AS DECIMAL(2,1))"), F.expr("CAST(0.3 AS DECIMAL(2,1))")
     return F.round(w4 * len_score + w3 * punct_score + w3 * stop_score, 4)
 
 
-def quality_score(col: Column) -> Column:
+def _quality_decimal(col: Column, toks: Column | None = None) -> Column:
+    """The quality score as the exact rounded DECIMAL, before any
+    output-type cast — shared by quality_score (double presentation)
+    and quality_score_e4 (integer fixed point)."""
+    return _quality_parts(
+        F.length(col), punct_ratio(col), stopword_ratio(col, toks=toks)
+    )
+
+
+def quality_score(col: Column, toks: Column | None = None) -> Column:
     """Composite document-quality score in [0, 1]: rewards moderate
     length, low punctuation density, and natural stopword frequency.
 
@@ -106,7 +127,7 @@ def quality_score(col: Column) -> Column:
     often exact decimals, so a double pipeline lands on round-half ties
     (e.g. 0.54175) where engines disagree; decimal ROUND is
     half-away-from-zero in both Spark and DuckDB."""
-    return _quality_decimal(col).cast("double")
+    return _quality_decimal(col, toks=toks).cast("double")
 
 
 def quality_score_e4(col: Column) -> Column:
@@ -130,7 +151,7 @@ def lang_scores(col: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(col: Column, toks: Column | None = None) -> Column:
     """Argmax language with deterministic tie-break (markers chain en >
     de > fr > es in a fixed CASE order); 'und' when no marker hits.
 
@@ -138,9 +159,9 @@ def lang_id(col: Column) -> Column:
     (struct accumulator) — N filter() passes would each pay the
     interpreted higher-order-function cost per token (measured 4×
     slower); the single fold is the scan-local shape that holds at
-    100 TB."""
+    100 TB. ``toks``: pre-staged token array (see stopword_ratio)."""
     names = list(_LANG_MARKERS)
-    toks = tokens(col)
+    toks = tokens(col) if toks is None else toks
     zero = F.struct(*[F.lit(0).alias(n) for n in names])
     counts = F.aggregate(
         toks,
@@ -204,11 +225,16 @@ def gopher_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     corpus token count, exactly like any inverted-index build.
     spread_scan (round 13): the tokenize+explode+partial-agg is
     scan-stage compute — an under-parallel source serializes it (no-op
-    on an already-parallel scan)."""
+    on an already-parallel scan). Round 14: gated at 64 MB/task — a
+    plain tokenize+count is light per byte, and the round-13
+    unconditional spread of a ~0.6 MB corpus was the driver-measured
+    q117 regression (0.9 → 9.9 s: 32-way fan-out jitter on sub-second
+    work; unspread runs 0.87 s stable). A task owning a real file
+    split's worth of text still earns the exchange."""
     from iceberg_cache_spark.operators.materialize import spread_scan
 
     stop = _LANG_MARKERS["en"]
-    df = spread_scan(df, id_col)
+    df = spread_scan(df, id_col, min_bytes_per_task=64 << 20)
     ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
     c = ex.groupBy(id_col, "w").agg(F.count("*").alias("cnt"))
     m = c.groupBy(id_col).agg(

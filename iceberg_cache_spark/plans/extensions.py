@@ -182,13 +182,29 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
        FROM caps ORDER BY doc_id""",
 )
 def q66(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 14: stage tokens + the two ratios ONCE. The single-select
+    # form re-evaluated the tokenizer (full-text regexp_replace +
+    # split) up to 6× per row — the optimized plan carried 8
+    # regexp_replace instances — because Catalyst inlines
+    # single-reference aliases. Multi-referenced staged columns are
+    # kept by CollapseProject; same expressions, same results, one
+    # tokenization (guide §1.2 per-task work).
     d = T(spark, sf, "documents")
     c = F.col("text")
-    return d.select(
+    t = d.select("doc_id", "text", X.tokens(c).alias("_toks"))
+    staged = t.select(
         "doc_id",
-        F.round(X.punct_ratio(c), 4).alias("punct_ratio"),
-        F.round(X.stopword_ratio(c), 4).alias("stopword_ratio"),
-        X.quality_score(c).alias("quality"),
+        "text",
+        X.punct_ratio(F.col("text")).alias("_pr"),
+        X.stopword_ratio(F.col("text"), toks=F.col("_toks")).alias("_sr"),
+    )
+    return staged.select(
+        "doc_id",
+        F.round(F.col("_pr"), 4).alias("punct_ratio"),
+        F.round(F.col("_sr"), 4).alias("stopword_ratio"),
+        X._quality_parts(F.length("text"), F.col("_pr"), F.col("_sr"))
+        .cast("double")
+        .alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -859,12 +875,15 @@ lang AS (SELECT doc_id, quality,
 def q69(spark: SparkSession, sf: str) -> DataFrame:
     """Pipeline composition: keep high-quality English documents — the
     canonical pretraining-corpus filter, all scan-local expressions."""
+    # Round 14: tokens staged once (see q66) — quality + lang_id
+    # re-tokenized 4× per row through the inlined filter predicate.
     d = T(spark, sf, "documents")
+    t = d.select("doc_id", "text", X.tokens(F.col("text")).alias("_toks"))
     return (
-        d.select(
+        t.select(
             "doc_id",
-            X.quality_score(F.col("text")).alias("quality"),
-            X.lang_id(F.col("text")).alias("lang_pred"),
+            X.quality_score(F.col("text"), toks=F.col("_toks")).alias("quality"),
+            X.lang_id(F.col("text"), toks=F.col("_toks")).alias("lang_pred"),
         )
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
         .select("doc_id")

@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from iceberg_cache_spark.operators import dedup as _D
 from iceberg_cache_spark.operators import similarity as _S
-from iceberg_cache_spark.operators.materialize import materialize
 from iceberg_cache_spark.operators.text import tokens as _tokens
 from iceberg_cache_spark.plans.extensions import _DUCK_TOKS
 from iceberg_cache_spark.plans.registry import declared
@@ -631,51 +630,43 @@ _GAPFILL_ORACLE = f"""WITH ev AS (
 GAPFILL_SLAB = 65536
 
 
-def _dense_series(obs: DataFrame) -> DataFrame:
-    """Per-key dense bucket grid [min(b), max(b)], slab-chunked
-    (round 10 guard — VERDICT r9 "What's wrong" #2).
+def _explode_span(g: DataFrame) -> DataFrame:
+    """Explode each row's bucket span ``[b, e_b]`` into one row per
+    bucket (column ``bb``), slab-chunked (round 10 guard — VERDICT r9
+    "What's wrong" #2).
 
-    A bare ``F.explode(F.sequence(b0, b1))`` materializes a key's
-    WHOLE span as one array row. Bounded by time span that is fine for
+    A bare ``F.explode(F.sequence(b, e_b))`` materializes a row's
+    WHOLE span as one array. Bounded by time span that is fine for
     any realistic series (10 years hourly ≈ 88k elements ≈ sub-MB),
     but one corrupt/outlier timestamp pair (an event in 1970 plus one
     in 2026) would build a ~500k-element array on a single row before
     the explode. Two-level explode instead: slab index first (a
-    ``(b1-b0) DIV 65536 + 1``-element sequence — 8 rows for the
+    ``(e_b-b) DIV 65536 + 1``-element sequence — 8 rows for the
     1970/2026 case), then the ≤65536-element slab sequence. Identical
     rows and hashes; worst-case array size is bounded by the slab
     constant instead of the data. Same plan-guard philosophy as
     ``operators/rolling.py``'s frame guard.
     """
-    ub = obs.groupBy("uk").agg(
-        F.min("user_id").alias("user_id"),
-        F.min("b").alias("b0"),
-        F.max("b").alias("b1"),
-    )
-    slabs = ub.select(
-        "uk",
-        "user_id",
-        "b0",
-        "b1",
+    slabs = g.withColumn(
+        "s",
         F.explode(
             F.sequence(
                 F.lit(0).cast("bigint"),
-                F.expr(f"(b1 - b0) DIV {GAPFILL_SLAB}"),
+                F.expr(f"(e_b - b) DIV {GAPFILL_SLAB}"),
             )
-        ).alias("s"),
+        ),
     )
-    return slabs.select(
-        "uk",
-        "user_id",
+    return slabs.withColumn(
+        "bb",
         F.explode(
             F.sequence(
-                F.col("b0") + F.col("s") * F.lit(GAPFILL_SLAB),
+                F.col("b") + F.col("s") * F.lit(GAPFILL_SLAB),
                 F.least(
-                    F.col("b1"),
-                    F.col("b0") + (F.col("s") + 1) * F.lit(GAPFILL_SLAB) - 1,
+                    F.col("e_b"),
+                    F.col("b") + (F.col("s") + 1) * F.lit(GAPFILL_SLAB) - 1,
                 ),
             )
-        ).alias("b"),
+        ),
     )
 
 
@@ -707,21 +698,20 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     via the `uk` surrogate key, so every join stays a plain non-null
     equi-join.
 
-    Plan shape at 100 TB: ONE hash-agg per (user, bucket) computes
-    both the bucket's event count and its last observation — the
-    last-obs pick is a struct-MAX over (us, event_id, value), a
+    Plan shape at 100 TB (round 14): ONE hash-agg per (user, bucket)
+    computes both the bucket's event count and its last observation —
+    the last-obs pick is a struct-MAX over (us, event_id, value), a
     map-side-combining aggregate instead of a row_number window — so
-    the raw stream is read once and shuffled once. The series bounds
-    (min/max bucket per user) then come from the BUCKET aggregate, not
-    the raw stream; the explode is bounded by the key's TIME SPAN (not
-    its row count — a hot user densifies to the same ~N-hour grid as a
-    cold one, so the gapfill itself is skew-immune); one left
-    equi-join on (uk, bucket) attaches observations to the dense grid,
-    and two LOCF windows partitioned by user finish. The presentation
-    sort is the only global exchange. (The first bench read of the
-    naive two-join + window formulation measured 4.0 s at sf0.1 —
-    5th-costliest in the suite; this shape removes one full pass over
-    the events, one shuffle, and one per-bucket window.)"""
+    the raw stream is read once and shuffled once. One window pass
+    over the OBSERVED buckets (cumulative LOCF value + lead(bucket))
+    assigns each observation the run of grid buckets it owns, and the
+    slab-chunked explode emits the dense grid directly — no bounds
+    aggregate, no grid join, no second pass of any kind. The explode
+    is bounded by the key's TIME SPAN (not its row count — a hot user
+    densifies to the same ~N-hour grid as a cold one, so the gapfill
+    itself is skew-immune); the presentation sort is the only global
+    exchange. (The first bench read of the naive two-join + window
+    formulation measured 4.0 s at sf0.1 — 5th-costliest in the suite.)"""
     return gapfill_locf(T(spark, sf, "events"))
 
 
@@ -763,36 +753,42 @@ def gapfill_locf(e: DataFrame) -> DataFrame:
     """LOCF densification over an events-shaped DataFrame (q175 body;
     importable so the adversarial-span pytest can drive it on a
     synthetic corrupt-timestamp fixture)."""
-    # Round 13, two structural fixes seen in the audited plan:
-    # (a) obs fed two consumers (grid bounds + the grid join) and was
-    # computed TWICE from the raw events — and the join leg, which
-    # keeps the struct-max v_last column, planned as a SortAggregate
-    # (complex-typed buffer), paying two extra sorts of the event
-    # stream. materialize-once removes the second scan+aggregate.
-    # (b) repartition("uk") on the bucket-level frame: hash(uk)
-    # satisfies the clustering requirement of the bounds aggregate
-    # (subset of (uk, b)), is inherited by the series leg through the
-    # explodes, and satisfies the LOCF window, which previously paid
-    # its own post-join exchange. Map-side partial aggregation in
-    # _gapfill_obs is untouched (the repartition sits above it); a
-    # key's grid is time-span-bounded, so concentrating one uk per
-    # partition is skew-immune (same argument as the window itself).
-    obs = materialize(_gapfill_obs(e).repartition("uk"), eager=False)
-    series = _dense_series(obs)
-    j = series.join(
-        obs.select("uk", "b", "n_obs", "v_last"), ["uk", "b"], "left"
-    )
-    w_cum = W.partitionBy("uk").orderBy("b").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    return j.select(
+    # Round 14: gap rows are generated from CONSECUTIVE-observation
+    # spans instead of a dense-grid join. Per observed bucket, lead(b)
+    # bounds the half-open run of grid buckets this observation owns
+    # ([b, next_b) — the last observation owns just itself), and the
+    # LOCF value for every bucket in the run IS the run owner's
+    # carried value (there is no observation in between to change it),
+    # so the cumulative last(ignorenulls) window runs over OBSERVED
+    # buckets only and the exploded gap rows inherit its result. This
+    # deletes round 13's contested materialize barrier (driver: q175
+    # 2.2 → 3.7 s) *and* the round-12 double aggregate it papered
+    # over: one (uk, b) agg exchange (map-side combining), ONE window
+    # pass over observed rows — not the dense grid — no bounds
+    # aggregate, no grid join, no checkpoint. Output identical: the
+    # union of the runs is exactly [min(b), max(b)] per key
+    # (oracle-matched sf0.001/0.01/0.1; guide §1.2 "the distributed
+    # algorithm", §2.4). Skew story unchanged: a key's exploded run
+    # total is bounded by its time span, not its row count.
+    obs = _gapfill_obs(e)
+    w_ord = W.partitionBy("uk").orderBy("b")
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, 0)
+    g = obs.select(
         "user_id",
-        F.col("b").cast("bigint").alias("bucket_h"),
-        F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
-        F.last("v_last", ignorenulls=True)
-        .over(w_cum)
+        "b",
+        "n_obs",
+        F.last("v_last", ignorenulls=True).over(w_cum).alias("v_locf"),
+        F.coalesce(F.lead("b").over(w_ord) - 1, F.col("b")).alias("e_b"),
+    )
+    rows = _explode_span(g)
+    return rows.select(
+        "user_id",
+        F.col("bb").cast("bigint").alias("bucket_h"),
+        F.when(F.col("bb") == F.col("b"), F.col("n_obs"))
+        .otherwise(F.lit(0))
         .cast("bigint")
-        .alias("v_cents_locf"),
+        .alias("n_obs"),
+        F.col("v_locf").cast("bigint").alias("v_cents_locf"),
     ).orderBy("user_id", "bucket_h")
 
 
@@ -893,14 +889,20 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
 def gapfill_interpolate(e: DataFrame) -> DataFrame:
     """Linear-interpolation densification over an events-shaped
     DataFrame (q176 body; importable for the adversarial-span test)."""
-    # materialize-once + one uk-hash exchange for the plan tail — see
-    # gapfill_locf (round 13).
-    obs = materialize(_gapfill_obs(e).repartition("uk"), eager=False)
-    series = _dense_series(obs)
-    j = series.join(
-        obs.select("uk", "b", "n_obs", "v_last"), ["uk", "b"], "left"
-    )
-    # the declared oracle uses the portable grouping trick; the Spark
+    # Round 14: same consecutive-observation-span generation as
+    # gapfill_locf — the interpolation endpoints are constant inside a
+    # run of gap buckets ([b, next_b)): the previous observation with
+    # a value is the run owner's (no observation sits in between) and
+    # the next one is the value-carrying neighbor AT OR AFTER next_b,
+    # i.e. lead() of the descending cumulative's result. So all four
+    # endpoint columns are window passes over OBSERVED buckets, and
+    # round 13's "two sorts of the ~1M dense grid" (the tier's
+    # documented residual) become two sorts of the observed rows. No
+    # bounds aggregate, no grid join, no materialize barrier
+    # (driver-regressed in r13: 3.8 → 4.5 s). Oracle-matched
+    # sf0.001/0.01/0.1.
+    #
+    # The declared oracle uses the portable grouping trick; the Spark
     # side uses native last(ignorenulls) — identical semantics, ONE
     # window pass per direction instead of two (the (key, group)
     # partitions cost an extra exchange + sort each; the first bench
@@ -912,30 +914,52 @@ def gapfill_interpolate(e: DataFrame) -> DataFrame:
     # re-evaluates the aggregate from scratch per row — O(rows²) per
     # partition, measured 58 s vs 6 s at sf0.1 — so the second sort is
     # the right price.
-    w_f = W.partitionBy("uk").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
-    w_b = (
+    obs = _gapfill_obs(e)
+    w_asc = W.partitionBy("uk").orderBy("b")
+    w_cum = w_asc.rowsBetween(W.unboundedPreceding, 0)
+    w_desc = (
         W.partitionBy("uk")
         .orderBy(F.col("b").desc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     obs_b = F.when(F.col("v_last").isNotNull(), F.col("b"))
-    ends = (
-        j.withColumn("v_prev", F.last("v_last", ignorenulls=True).over(w_f))
-        .withColumn("b_prev", F.last(obs_b, ignorenulls=True).over(w_f))
-        .withColumn("v_next", F.last("v_last", ignorenulls=True).over(w_b))
-        .withColumn("b_next", F.last(obs_b, ignorenulls=True).over(w_b))
+    g1 = obs.withColumn(
+        "v_next", F.last("v_last", ignorenulls=True).over(w_desc)
+    ).withColumn("b_next", F.last(obs_b, ignorenulls=True).over(w_desc))
+    g2 = g1.select(
+        "user_id",
+        "b",
+        "n_obs",
+        "v_next",
+        "b_next",
+        F.last("v_last", ignorenulls=True).over(w_cum).alias("v_prev"),
+        F.last(obs_b, ignorenulls=True).over(w_cum).alias("b_prev"),
+        F.coalesce(F.lead("b").over(w_asc) - 1, F.col("b")).alias("e_b"),
+        F.lead("v_next").over(w_asc).alias("nxt_v"),
+        F.lead("b_next").over(w_asc).alias("nxt_b"),
+    )
+    rows = _explode_span(g2)
+    is_obs = F.col("bb") == F.col("b")
+    ends = rows.select(
+        "user_id",
+        F.col("bb").alias("bh"),
+        F.when(is_obs, F.col("n_obs")).otherwise(F.lit(0)).alias("n_obs_e"),
+        "v_prev",
+        "b_prev",
+        F.when(is_obs, F.col("v_next")).otherwise(F.col("nxt_v")).alias("v_nxt"),
+        F.when(is_obs, F.col("b_next")).otherwise(F.col("nxt_b")).alias("b_nxt"),
     )
     lerp = F.expr(
-        "CASE WHEN b_prev IS NULL OR b_next IS NULL THEN NULL "
-        "WHEN b_next = b_prev THEN v_prev "
+        "CASE WHEN b_prev IS NULL OR b_nxt IS NULL THEN NULL "
+        "WHEN b_nxt = b_prev THEN v_prev "
         "ELSE v_prev + "
-        "  ((v_next - v_prev) * (b - b_prev) "
-        "   - pmod((v_next - v_prev) * (b - b_prev), b_next - b_prev)) "
-        "  DIV (b_next - b_prev) END"
+        "  ((v_nxt - v_prev) * (bh - b_prev) "
+        "   - pmod((v_nxt - v_prev) * (bh - b_prev), b_nxt - b_prev)) "
+        "  DIV (b_nxt - b_prev) END"
     )
     return ends.select(
         "user_id",
-        F.col("b").cast("bigint").alias("bucket_h"),
-        F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+        F.col("bh").cast("bigint").alias("bucket_h"),
+        F.col("n_obs_e").cast("bigint").alias("n_obs"),
         lerp.cast("bigint").alias("v_cents_lerp"),
     ).orderBy("user_id", "bucket_h")

@@ -435,8 +435,7 @@ def test_gapfill_outlier_span_slab_guard(spark):
 
     from iceberg_cache_spark.plans.sessions import (
         GAPFILL_SLAB,
-        _dense_series,
-        _gapfill_obs,
+        _explode_span,
         gapfill_interpolate,
         gapfill_locf,
     )
@@ -477,9 +476,15 @@ def test_gapfill_outlier_span_slab_guard(spark):
     expect = 100 + (200 * GAPFILL_SLAB) // span
     assert mid.v_cents_lerp == expect
 
-    # the guard property itself: no generated slab exceeds the bound
-    slab_rows = _dense_series(_gapfill_obs(e)).groupBy("uk").count().first()
-    assert slab_rows["count"] == n
+    # the guard property itself: the span explode chunks by slab index
+    # — no slab group exceeds the bound, and the union is exact
+    span_df = spark.createDataFrame(
+        [(0, span)], "b long, e_b long"
+    )
+    per_slab = _explode_span(span_df).groupBy("s").count()
+    agg = per_slab.agg(F.max("count"), F.sum("count")).first()
+    assert agg[0] <= GAPFILL_SLAB
+    assert agg[1] == n
 
 
 def test_sequence_packing_planted(spark, tmp_path):

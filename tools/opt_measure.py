@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Round-13 optimization harness: time named queries in a fresh
+"""Optimization-round harness: time named queries in a fresh
 session (bench methodology — noop sink, settle + clear derived cache
 between samples, median-of-3) and optionally dump explain("formatted")
-to plans/r13/<query>_<tag>.txt.
+to plans/<round>/<query>_<tag>.txt.
 
 Usage:
-  python tools/opt_measure.py [--explain TAG] [--runs N] [--sf DIR] q148...
+  python tools/opt_measure.py [--explain TAG] [--runs N] [--sf DIR] [--plandir r14] q148...
 
 One fresh process per invocation keeps the numbers comparable to the
 bench's process-group protocol.
@@ -30,7 +30,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--explain", metavar="TAG", default=None,
-                    help="dump explain('formatted') to plans/r13/<q>_<TAG>.txt")
+                    help="dump explain('formatted') to plans/<plandir>/<q>_<TAG>.txt")
+    ap.add_argument("--plandir", default="r14")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -55,9 +56,9 @@ def main() -> None:
             df = QUERIES[name](spark, args.sf)
             txt = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
-            os.makedirs(os.path.join(REPO, "plans", "r13"), exist_ok=True)
+            os.makedirs(os.path.join(REPO, "plans", args.plandir), exist_ok=True)
             with open(os.path.join(
-                    REPO, "plans", "r13", f"{name}_{args.explain}.txt"),
+                    REPO, "plans", args.plandir, f"{name}_{args.explain}.txt"),
                     "w") as fh:
                 fh.write(txt)
         bench.settle(spark)
