@@ -75,8 +75,13 @@ def curate(
 ) -> DataFrame:
     """Run the full curation pipeline; returns (doc_id, lang, split)."""
     benchmark = docs.filter(F.col("source") == benchmark_source)
-    kept = docs.filter(F.col("source") != benchmark_source).filter(
-        quality_score(F.col("text")) >= quality_min
+    # tokens staged once for the quality filter (round 14; see q66 —
+    # the inlined predicate otherwise re-tokenizes 3× per row)
+    kept = (
+        docs.filter(F.col("source") != benchmark_source)
+        .withColumn("_qtk", tokens(F.col("text")))
+        .filter(quality_score(F.col("text"), toks=F.col("_qtk")) >= quality_min)
+        .drop("_qtk")
     )
     reps = (
         kept.select("doc_id", fingerprint(F.col("text")).alias("_fp"))

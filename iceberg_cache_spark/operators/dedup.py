@@ -539,6 +539,17 @@ def ngram_jaccard_pairs_ppjoin(
         .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
+    # Verify stage: double posting-list join-back + count aggregate.
+    # Round 14 measured and REJECTED the array alternative (collect the
+    # gram set per doc once, then size(array_intersect) per candidate
+    # pair — no fan-out exchange, no count aggregate): 4.0 → 4.9 s at
+    # sf0.1 — the per-doc collect_list aggregate plus the per-pair
+    # interpreted set-intersection cost more than the fan-out join they
+    # replace, at this scale and at any scale where mean candidate
+    # degree is low (the intersection still touches sz_a+sz_b elements
+    # per pair, in slower per-element code than the join's hash
+    # probes). Kept: the join-back shape, whose heaviest exchange is
+    # bounded by candidate-degree × doc grams.
     ga = grams.select(F.col(id_col).alias("id_a"), "gh")
     gb = grams.select(F.col(id_col).alias("id_b"), "gh")
     inter = (

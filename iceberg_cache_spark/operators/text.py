@@ -130,7 +130,7 @@ def quality_score(col: Column, toks: Column | None = None) -> Column:
     return _quality_decimal(col, toks=toks).cast("double")
 
 
-def quality_score_e4(col: Column) -> Column:
+def quality_score_e4(col: Column, toks: Column | None = None) -> Column:
     """quality_score in e4 fixed point (score × 10000 as BIGINT).
 
     For anything that AGGREGATES quality (token-weighted shard means,
@@ -139,7 +139,7 @@ def quality_score_e4(col: Column) -> Column:
     plan and a DuckDB oracle drift in the last bits. The rounded
     DECIMAL is exact at 4 places, so ×10000 is an exact integer and
     every downstream SUM/DIV stays engine-exact."""
-    return (_quality_decimal(col) * F.lit(10000)).cast("bigint")
+    return (_quality_decimal(col, toks=toks) * F.lit(10000)).cast("bigint")
 
 
 def lang_scores(col: Column) -> dict[str, Column]:

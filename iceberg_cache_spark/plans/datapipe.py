@@ -3209,10 +3209,17 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "slice_len",
     )
+    # tokens staged once (round 14): quality_score_e4's stopword ratio
+    # references the tokenizer 3× and Catalyst inlines single-reference
+    # aliases — see q66.
     qual = (
         T(spark, sf, "documents")
         .where(F.col("doc_id").isNotNull())
-        .select("doc_id", _X.quality_score_e4(F.col("text")).alias("q_e4"))
+        .select("doc_id", "text", _X.tokens(F.col("text")).alias("_tk"))
+        .select(
+            "doc_id",
+            _X.quality_score_e4(F.col("text"), toks=F.col("_tk")).alias("q_e4"),
+        )
     )
     agg = (
         mf.join(qual, "doc_id")

@@ -250,28 +250,46 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
     # Band theta join, output-bound (~|p|x|s|/2 rows). Round 13: the
     # old BroadcastNestedLoopJoin fed the full pair stream through a
     # global ORDER BY — one range exchange + sort of the OUTPUT. The
-    # join collapses to explode(filter(sorted_keys, k -> k > p_size))
-    # over a broadcast one-row sorted key array (exact multiplicity:
-    # collect_list keeps duplicate keys and drops NULLs, matching the
-    # join's NULL-rejecting predicate; a NULL p_size filters to an
-    # empty array, matching too), and the total order is produced
-    # WITHOUT moving the output: range-partition the 20k-row part side
-    # by p_partkey BEFORE the fan-out, emit each row's matches in
-    # sorted-array order, and sortWithinPartitions afterwards — ordered
-    # range partitions + per-partition sort = the same total
-    # (p_partkey, s_suppkey) order, with the exchange carrying |p|
-    # rows instead of the |p|x|s|/2-row result.
+    # join collapses to exploding each part row's match array — the
+    # tail of the sorted supplier-key array above p_size (exact
+    # multiplicity: collect_list keeps duplicate keys and drops NULLs,
+    # matching the join's NULL-rejecting predicate) — and the total
+    # order is produced WITHOUT moving the output: range-partition the
+    # 20k-row part side by p_partkey BEFORE the fan-out, so the
+    # exchange carries |p| rows instead of the |p|x|s|/2-row result.
+    #
+    # Round 14, two residual costs deleted with the same output:
+    # (a) the interpreted higher-order filter(sorted_keys, k > p_size)
+    #     ran per PART ROW (~20M lambda evaluations — Catalyst HOFs
+    #     are interpreted per element, the round-13 q72 lesson); the
+    #     match array is a function of p_size ALONE, whose domain is
+    #     tiny (TPC-H p_size is 1..50), so it is now computed once per
+    #     DISTINCT p_size and broadcast-joined back — the fan-out rows
+    #     never touch a lambda.
+    # (b) sortWithinPartitions ran AFTER the explode, sorting the
+    #     ~19.5M-row output; the sort now runs on the ~20k part rows
+    #     BEFORE the fan-out. Order is preserved by construction: a
+    #     BroadcastHashJoin streams its probe side and Generate emits
+    #     array elements in order, so ordered part rows × ascending
+    #     match arrays = the same (p_partkey, s_suppkey) total order
+    #     (asserted row-for-row against the round-13 formulation in
+    #     tests/test_round14_opt.py; NULL p_size rows drop on the
+    #     inner size join exactly as their empty match array did).
     keys = s.agg(F.sort_array(F.collect_list("s_suppkey")).alias("_ks"))
-    return (
-        p.repartitionByRange("p_partkey")
+    sizes = (
+        p.select("p_size")
+        .distinct()
         .crossJoin(F.broadcast(keys))
         .select(
-            "p_partkey",
-            F.explode(
-                F.filter(F.col("_ks"), lambda k: k > F.col("p_size"))
-            ).alias("s_suppkey"),
+            "p_size",
+            F.filter(F.col("_ks"), lambda k: k > F.col("p_size")).alias("_match"),
         )
-        .sortWithinPartitions("p_partkey", "s_suppkey")
+    )
+    return (
+        p.repartitionByRange("p_partkey")
+        .join(F.broadcast(sizes), "p_size")
+        .sortWithinPartitions("p_partkey")
+        .select("p_partkey", F.explode("_match").alias("s_suppkey"))
     )
 
 

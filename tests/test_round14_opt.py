@@ -47,6 +47,37 @@ def test_spread_gate_already_parallel_is_noop(spark):
     assert out is wide
 
 
+def test_q16_order_matches_r13_formulation(spark, sf_dir):
+    """q16's round-14 form (per-distinct-size match arrays + pre-fan-out
+    sort) must reproduce the round-13 output ROW FOR ROW — the total
+    (p_partkey, s_suppkey) order is produced by construction (ordered
+    range partitions × ascending arrays), not by a terminal sort, so
+    pin it exactly."""
+    from pyspark.sql import functions as F
+
+    from iceberg_cache_spark.plans import QUERIES
+    from iceberg_cache_spark.sources.testdata import load_table as T
+
+    new = QUERIES["q16_theta_join"](spark, sf_dir).collect()
+
+    p, s = T(spark, sf_dir, "part"), T(spark, sf_dir, "supplier")
+    keys = s.agg(F.sort_array(F.collect_list("s_suppkey")).alias("_ks"))
+    old = (
+        p.repartitionByRange("p_partkey")
+        .crossJoin(F.broadcast(keys))
+        .select(
+            "p_partkey",
+            F.explode(
+                F.filter(F.col("_ks"), lambda k: k > F.col("p_size"))
+            ).alias("s_suppkey"),
+        )
+        .sortWithinPartitions("p_partkey", "s_suppkey")
+    ).collect()
+
+    assert new == old
+    assert new == sorted(new, key=lambda r: (r.p_partkey, r.s_suppkey))
+
+
 def test_spread_gate_conf_override_wins(spark):
     big = spark.range(0, 10_000_000, 1, 1)
     spark.conf.set(SPREAD_MIN_BYTES_CONF, str(1 << 40))
