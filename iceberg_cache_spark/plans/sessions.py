@@ -880,9 +880,11 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     semantics, one window pass per direction instead of the trick's
     two (each (key, group) partition would add an exchange + sort; the
     first bench read measured the 4-window form at 5.4 s) — all
-    partitioned by user, no joins beyond the dense-grid attach. Same
-    skew story as q175: the grid is bounded by a key's time span, not
-    its row count."""
+    partitioned by user and, since round 14, over OBSERVED buckets
+    only: gap rows are generated from consecutive-observation spans
+    (see gapfill_interpolate), so there is no dense-grid join at all.
+    Same skew story as q175: the grid is bounded by a key's time span,
+    not its row count."""
     return gapfill_interpolate(T(spark, sf, "events"))
 
 
